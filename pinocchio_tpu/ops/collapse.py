@@ -1,0 +1,172 @@
+"""Ellipsoidal collapse-time kernel.
+
+Batched, branch-free re-implementation of the reference's per-particle
+collapse solve (collapse_times.c):
+  - Hessian invariants + closed-form eigenvalues, ordered decreasing
+    (inverse_collapse_time, collapse_times.c:679-776; ord :1354-1363)
+  - ELL_CLASSIC: smallest non-negative root of the 3rd-order ellipsoidal
+    collapse equation with the spherical-collapse correction
+    (ell_classic, collapse_times.c:114-221, Monaco 1996a)
+  - conversion of the growth-at-collapse b_c to F = 1 + z_c through the
+    inverse linear growing mode (ell, collapse_times.c:404-427)
+
+The C code's if/else ladder becomes a jnp.where lattice; every division and
+sqrt is guarded so both sides of each select are finite.  Runs as one fused
+XLA elementwise kernel over the full grid — the OpenMP loop at
+collapse_times.c:545-591 becomes data parallelism on the VPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SMALL = 1e-20
+BIG = 1e10
+
+
+def _safe_div(a, b):
+    ok = jnp.abs(b) > 0
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def eigenvalues_descending(d):
+    """Eigenvalues of the symmetric Hessian given its 6 components
+    [..., 6] in ider order (xx, yy, zz, xy, xz, yz), sorted descending.
+
+    Follows inverse_collapse_time (collapse_times.c:679-749); returns
+    (l1, l2, l3, fail) where fail flags the q^3 < r^2 or q < 0 branch that
+    the reference maps to F = -10.
+    """
+    d0, d1, d2, d3, d4, d5 = (d[..., i] for i in range(6))
+    mu1 = d0 + d1 + d2
+    mu1_2 = mu1 * mu1
+    mu2 = (0.5 * mu1_2 - 0.5 * (d0 * d0 + d1 * d1 + d2 * d2)
+           - (d3 * d3 + d4 * d4 + d5 * d5))
+    mu3 = (d0 * d1 * d2 + 2.0 * d3 * d4 * d5
+           - d0 * d5 * d5 - d1 * d4 * d4 - d2 * d3 * d3)
+    q = (mu1_2 - 3.0 * mu2) / 9.0
+    r = -(2.0 * mu1_2 * mu1 - 9.0 * mu1 * mu2 + 27.0 * mu3) / 54.0
+
+    diagonal = q == 0.0
+    fail = (~diagonal) & ((q * q * q < r * r) | (q < 0.0))
+
+    sq = 2.0 * _safe_sqrt(q)
+    arg = jnp.clip(_safe_div(2.0 * r, q * sq), -1.0, 1.0)
+    t = jnp.arccos(arg)
+    third = 1.0 / 3.0
+    x1 = -sq * jnp.cos(t * third) + mu1 * third
+    x2 = -sq * jnp.cos((t + 2.0 * np.pi) * third) + mu1 * third
+    x3 = -sq * jnp.cos((t + 4.0 * np.pi) * third) + mu1 * third
+
+    x1 = jnp.where(diagonal, d0, x1)
+    x2 = jnp.where(diagonal, d1, x2)
+    x3 = jnp.where(diagonal, d2, x3)
+
+    hi = jnp.maximum(jnp.maximum(x1, x2), x3)
+    lo = jnp.minimum(jnp.minimum(x1, x2), x3)
+    mid = x1 + x2 + x3 - hi - lo
+    return hi, mid, lo, fail
+
+
+def ell_classic(l1, l2, l3):
+    """Growing mode b_c at collapse; -0.1 when the ellipsoid never
+    collapses (ell_classic, collapse_times.c:114-221)."""
+    delta = l1 + l2 + l3
+    det = l1 * l2 * l3
+    den = det / 126.0 + 5.0 * l1 * delta * (delta - l1) / 84.0
+
+    # --- 1st/2nd-order branches when den vanishes ---
+    zeldovich = jnp.where(l1 > 0.0, _safe_div(1.0, l1), -0.1)
+    dis = 7.0 * l1 * (l1 + 6.0 * delta)
+    ell2 = _safe_div(7.0 * l1 - _safe_sqrt(dis), 3.0 * l1 * (l1 - delta))
+    ell2 = jnp.where((dis < 0.0) | (ell2 < 0.0), -0.1, ell2)
+    ell_den0 = jnp.where(jnp.abs(delta - l1) < SMALL, zeldovich, ell2)
+
+    # --- full 3rd-order branch ---
+    rden = _safe_div(1.0, den)
+    a1 = 3.0 * l1 * (delta - l1) / 14.0 * rden
+    a2 = l1 * rden
+    a3 = -rden
+    q = (a1 * a1 - 3.0 * a2) / 9.0
+    r = (2.0 * a1 ** 3 - 9.0 * a1 * a2 + 27.0 * a3) / 54.0
+    r2q3 = r * r - q ** 3
+
+    # single real root (spherical / quasi-spherical)
+    sq1 = jnp.cbrt(_safe_sqrt(r2q3) + jnp.abs(r))
+    ell_a = (-jnp.sign(r) * (sq1 + _safe_div(q, sq1)) - a1 / 3.0)
+    ell_a = jnp.where(ell_a < 0.0, -0.1, ell_a)
+
+    # three real roots: smallest non-negative
+    sq2 = 2.0 * _safe_sqrt(q)
+    t = jnp.arccos(jnp.clip(_safe_div(2.0 * r, q * sq2), -1.0, 1.0))
+    third = 1.0 / 3.0
+    s1 = -sq2 * jnp.cos(t * third) - a1 * third
+    s2 = -sq2 * jnp.cos((t + 2.0 * np.pi) * third) - a1 * third
+    s3 = -sq2 * jnp.cos((t + 4.0 * np.pi) * third) - a1 * third
+    s1 = jnp.where(s1 < 0.0, BIG, s1)
+    s2 = jnp.where(s2 < 0.0, BIG, s2)
+    s3 = jnp.where(s3 < 0.0, BIG, s3)
+    ell_b = jnp.minimum(jnp.minimum(s1, s2), s3)
+    ell_b = jnp.where(ell_b == BIG, -0.1, ell_b)
+
+    ell3 = jnp.where(r2q3 > 0.0, ell_a, ell_b)
+    out = jnp.where(jnp.abs(den) < SMALL, ell_den0, ell3)
+    out = jnp.where(jnp.abs(l1) < SMALL, -0.1, out)
+
+    # spherical-collapse correction (collapse_times.c:215-218)
+    inv_del = _safe_div(1.0, delta)
+    corr = -0.364 * inv_del * jnp.exp(
+        -6.5 * (l1 - l2) * inv_del - 2.8 * (l2 - l3) * inv_del)
+    return jnp.where((delta > 0.0) & (out > 0.0), out + corr, out)
+
+
+def make_inverse_growth_table(cosmo, n_ext: int = 8):
+    """(log10 D, log10 a) table for inverting the growing mode on device.
+
+    Extends both ends linearly so jnp.interp reproduces the reference's
+    linearly-extrapolating spline eval (my_spline_eval, cosmo.c:2016-2027).
+    """
+    logD = np.asarray(cosmo.sp_grow1.y, dtype=np.float64)
+    loga = np.asarray(cosmo.sp_grow1.x, dtype=np.float64)
+    lo_slope = (loga[1] - loga[0]) / (logD[1] - logD[0])
+    hi_slope = (loga[-1] - loga[-2]) / (logD[-1] - logD[-2])
+    lo_x = logD[0] - 20.0
+    hi_x = logD[-1] + 20.0
+    logD_ext = np.concatenate([[lo_x], logD, [hi_x]])
+    loga_ext = np.concatenate([[loga[0] + (lo_x - logD[0]) * lo_slope],
+                               loga,
+                               [loga[-1] + (hi_x - logD[-1]) * hi_slope]])
+    return (jnp.asarray(logD_ext, jnp.float32),
+            jnp.asarray(loga_ext, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=())
+def collapse_update(derivs, Fmax, Rmax, ismooth, logD_tab, loga_tab):
+    """One smoothing radius of compute_collapse_times
+    (collapse_times.c:431-673): new collapse times F from the Hessian stack
+    [6, N, N, N], running max into (Fmax, Rmax), plus the delta stats.
+
+    Returns (Fmax, Rmax, mean_delta, mean_delta_sq).
+    """
+    d = jnp.moveaxis(derivs, 0, -1)
+    delta = d[..., 0] + d[..., 1] + d[..., 2]
+    l1, l2, l3, fail = eigenvalues_descending(d)
+    bc = ell_classic(l1, l2, l3)
+    # F = 1 + z_c; InverseGrowingMode via the log-log growth table
+    loga_c = jnp.interp(jnp.log10(jnp.maximum(bc, 1e-30)),
+                        logD_tab, loga_tab)
+    F = jnp.where(bc > 0.0, 10.0 ** (-loga_c), 0.0)
+    F = jnp.where(fail, -10.0, F)
+
+    upd = Fmax < F
+    Fmax = jnp.where(upd, F, Fmax)
+    Rmax = jnp.where(upd, ismooth, Rmax)
+    return Fmax, Rmax, jnp.mean(delta), jnp.mean(delta * delta)

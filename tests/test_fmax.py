@@ -1,0 +1,73 @@
+"""End-to-end fmax pipeline vs the reference's shipped Fmax PDF.
+
+Oracle: HMF_Validation/pinocchio.test.FmaxPDF.out (128^3, EH, sigma8=0.8).
+The realizations differ (threefry vs GSL seed plane) so agreement is
+statistical: bin-wise at the few-percent level, collapsed fraction <1%.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def fmax_result(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.fmax import run_fmax
+    return run_fmax(hmf_validation_params, hmf_validation_cosmology,
+                    verbose=False)
+
+
+def test_smoothing_ladder(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.fmax import Smoothing
+    sm = Smoothing.build(hmf_validation_params, hmf_validation_cosmology)
+    # reference log: 9 radii, R = 20.636 ... 0.259, 0
+    assert sm.n == 9
+    ref_radii = [20.636, 13.996, 9.026, 5.466, 3.058, 1.548, 0.689, 0.259, 0.0]
+    np.testing.assert_allclose(sm.radii, ref_radii, atol=2e-3)
+    np.testing.assert_allclose(sm.variance[0], 0.078961, rtol=1e-4)
+    np.testing.assert_allclose(sm.variance[-1], 10.4775, rtol=1e-3)
+
+
+def test_sigma_self_consistency(fmax_result):
+    """computed sigma vs linear theory per radius (fmax.c:143-146)."""
+    sm = fmax_result.smoothing
+    for i in range(sm.n - 2):      # last radii suffer grid discreteness
+        exp_s = np.sqrt(sm.variance[i])
+        got_s = np.sqrt(sm.true_variance[i])
+        assert abs(got_s / exp_s - 1.0) < 0.25, (i, exp_s, got_s)
+
+
+def test_fmax_pdf_vs_reference(fmax_result):
+    ref = np.loadtxt("/root/reference/HMF_Validation/"
+                     "pinocchio.test.FmaxPDF.out")[:, 2]
+    F = np.asarray(fmax_result.products.Fmax).ravel()
+    xF = np.clip((F * 10).astype(int), 0, 209)
+    mine = np.bincount(xF, minlength=210).astype(float)
+
+    # collapsed fraction to z=0
+    coll_mine = mine[10:].sum()
+    coll_ref = ref[10:].sum()
+    assert abs(coll_mine / coll_ref - 1.0) < 0.02
+
+    # bins with decent statistics agree to ~5%
+    for i in range(1, 100):
+        if ref[i] > 5000:
+            assert abs(mine[i] / ref[i] - 1.0) < 0.05, (i, mine[i], ref[i])
+
+
+def test_displacement_field_statistics(fmax_result,
+                                       hmf_validation_cosmology):
+    """Zel'dovich rms displacement vs linear theory displacement variance:
+    sigma_psi^2 = DisplVariance(R->0)/3 per axis, in grid units."""
+    cosmo = hmf_validation_cosmology
+    g = fmax_result.grid
+    v1 = np.asarray(fmax_result.products.vel["v1"])
+    rms_axis = np.sqrt((v1 ** 2).mean())
+    # theory: displacement variance integrated to the grid Nyquist;
+    # DisplVariance uses a Gaussian window, evaluate near the cell scale
+    s2 = cosmo.var_gauss.DisplVariance(g.CellSize / np.pi * 2)
+    expect = np.sqrt(s2 / 3.0) / g.CellSize
+    assert 0.5 < rms_axis / expect < 2.0, (rms_axis, expect)
+
+    # 2LPT/3LPT fields must be much smaller than Zel'dovich
+    v2 = np.asarray(fmax_result.products.vel["v2"])
+    assert np.sqrt((v2 ** 2).mean()) < 0.5 * rms_axis
