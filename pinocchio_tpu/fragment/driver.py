@@ -1,0 +1,329 @@
+"""Fragmentation driver: from fmax products to halos.
+
+Python-side orchestration of the native group sweep (native/groupsweep.c):
+particle selection + Fmax sort (fragment.c:484-520), peak counting
+(fragment.c:605-706), growth-weight tables, and the ctypes bridge.
+
+Round-1 scope: a single sub-box spanning the full grid with periodic
+boundaries — the configuration the reference uses for any single-task run
+(set_subboxes, initialization.c:933-1140, nbox=1 -> pbc on, safe=0).
+Multi-subbox domains with boundary layers ride on the same C kernel.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Params
+from ..cosmology import Cosmology
+from ..fmax import FmaxResult
+from .. import native
+
+FILAMENT = 1
+DELTAM = 0.05
+NCOUNTERS = 16
+
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_f64p = ctypes.POINTER(ctypes.c_double)
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+class _SweepInput(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("Fmax", _f32p), ("pos", _i32p),
+        ("v1", _f32p), ("v2", _f32p), ("v31", _f32p), ("v32", _f32p),
+        ("loc", _i32p),
+        ("L", ctypes.c_int32 * 3), ("pbc", ctypes.c_int32 * 3),
+        ("safe", ctypes.c_int32 * 3), ("stabl", ctypes.c_int32 * 3),
+        ("G", ctypes.c_int32 * 3),
+        ("f_m", ctypes.c_double), ("f_rm", ctypes.c_double),
+        ("espo", ctypes.c_double), ("f_a", ctypes.c_double),
+        ("f_ra", ctypes.c_double), ("f_200", ctypes.c_double),
+        ("sigmaD0", ctypes.c_double), ("sigma_grid", ctypes.c_double),
+        ("min_halo_mass", ctypes.c_int32), ("lpt_order", ctypes.c_int32),
+        ("tab_n", ctypes.c_int32),
+        ("tab_lo", ctypes.c_double), ("tab_dlog", ctypes.c_double),
+        ("tab_w1", _f64p), ("tab_w2", _f64p),
+        ("tab_w31", _f64p), ("tab_w32", _f64p),
+        ("tab_dv1", _f64p), ("tab_dv2", _f64p),
+        ("tab_dv31", _f64p), ("tab_dv32", _f64p),
+        ("tab_D1", _f64p),
+        ("nout", ctypes.c_int32), ("outF", _f64p),
+        ("maxg", ctypes.c_int32),
+    ]
+
+
+class _CaptureBuffers(ctypes.Structure):
+    _fields_ = [("name", _u64p), ("mass", _i32p),
+                ("q", _f32p), ("x", _f32p), ("v", _f32p),
+                ("count", _i32p)]
+
+
+class _SweepOutput(ctypes.Structure):
+    _fields_ = [("mass", _i32p), ("name", _u64p),
+                ("halo_app", _i32p), ("ll", _i32p),
+                ("merged_with", _i32p), ("mass_at_merger", _i32p),
+                ("t_appear", _f32p), ("t_peak", _f32p), ("t_merge", _f32p),
+                ("good", _u8p), ("alive", _u8p),
+                ("ngroups", _i32p), ("counters", _u64p),
+                ("group_of_particle", _i32p)]
+
+
+def fragment_parameters(order: int, use_sim_params: bool = False):
+    """Calibrated fragmentation parameters per LPT order
+    (set_fragment_parameters, fragment.c:48-116)."""
+    f_200 = 0.171
+    table = {
+        # order: (f_m=f_a, f_rm, espo, f_ra, sigmaD0)
+        1: ((0.495, -0.075, 0.852, 0.500, 1.7) if use_sim_params else
+            (0.505, 0.000, 0.820, 0.300, 1.7)),
+        2: ((0.475, -0.020, 0.780, 0.650, 1.5) if use_sim_params else
+            (0.501, 0.052, 0.745, 0.334, 1.5)),
+        3: ((0.455, 0.000, 0.755, 0.700, 1.2) if use_sim_params else
+            (0.5024, 0.1475, 0.6852, 0.4584, 1.2)),
+    }
+    f_m, f_rm, espo, f_ra, sigmaD0 = table[min(order, 3)]
+    return dict(f_m=f_m, f_a=f_m, f_rm=f_rm, espo=espo, f_ra=f_ra,
+                f_200=f_200, sigmaD0=sigmaD0)
+
+
+def growth_tables(params: Params, cosmo: Cosmology, n: int = 8192,
+                  Fhi: float = 1500.0):
+    """Uniform-log10(F) tables of the displacement weights, velocity growth
+    factors and D(z) used inside the sweep (set_weight / set_obj_vel,
+    build_groups.c:1411-1460)."""
+    Flast = params.Flast
+    lo = math.log10(Flast) - 1e-4
+    hi = math.log10(Fhi)
+    logF = np.linspace(lo, hi, n)
+    z = 10.0 ** logF - 1.0
+    zl = params.zlast
+    k = params.k_for_GM
+
+    D1 = cosmo.GrowingMode(z, k)
+    w1 = D1 / cosmo.GrowingMode(zl, k)
+    w2 = cosmo.GrowingMode_2LPT(z, k) / cosmo.GrowingMode_2LPT(zl, k)
+    w31 = cosmo.GrowingMode_3LPT_1(z, k) / cosmo.GrowingMode_3LPT_1(zl, k)
+    w32 = cosmo.GrowingMode_3LPT_2(z, k) / cosmo.GrowingMode_3LPT_2(zl, k)
+    fac = cosmo.Hubble(z) / (1.0 + z) * params.InterPartDist
+    dv1 = fac * cosmo.fomega(z, k)
+    dv2 = fac * cosmo.fomega_2LPT(z, k)
+    dv31 = fac * cosmo.fomega_3LPT_1(z, k)
+    dv32 = fac * cosmo.fomega_3LPT_2(z, k)
+    dlog = logF[1] - logF[0]
+    arrs = dict(w1=w1, w2=w2, w31=w31, w32=w32,
+                dv1=dv1, dv2=dv2, dv31=dv31, dv32=dv32, D1=D1)
+    return lo, dlog, {k_: np.ascontiguousarray(v, np.float64)
+                      for k_, v in arrs.items()}
+
+
+def count_peaks(F: np.ndarray, Flast: float) -> int:
+    """Vectorized peak count over the full grid with PBCs
+    (count_peaks, fragment.c:605-706)."""
+    cond = F >= Flast
+    for axis in range(3):
+        for shift in (1, -1):
+            cond &= F > np.roll(F, shift, axis=axis)
+    return int(cond.sum())
+
+
+@dataclass
+class CatalogSnapshot:
+    z: float
+    name: np.ndarray           # u64
+    mass: np.ndarray           # particles, i32
+    q: np.ndarray              # [n,3] Lagrangian CM, global grid units
+    x: np.ndarray              # [n,3] Eulerian, global grid units
+    v: np.ndarray              # [n,3] km/s
+
+
+@dataclass
+class GroupState:
+    ngroups: int
+    mass: np.ndarray
+    name: np.ndarray
+    halo_app: np.ndarray
+    ll: np.ndarray
+    merged_with: np.ndarray
+    mass_at_merger: np.ndarray
+    t_appear: np.ndarray
+    t_peak: np.ndarray
+    t_merge: np.ndarray
+    good: np.ndarray
+    alive: np.ndarray
+
+
+@dataclass
+class FragmentResult:
+    catalogs: List[CatalogSnapshot]
+    groups: GroupState
+    counters: np.ndarray
+    npeaks: int
+    nstored: int
+    timings: Dict[str, float] = field(default_factory=dict)
+
+
+def run_fragmentation(params: Params, cosmo: Cosmology,
+                      fmax_result: FmaxResult,
+                      verbose: bool = True) -> FragmentResult:
+    t_all = time.perf_counter()
+    timings = {}
+    N = fmax_result.grid.N
+    Flast = params.Flast
+
+    # ---- gather products to host, select and sort (fragment.c:484-520) ----
+    t0 = time.perf_counter()
+    F_grid = np.asarray(fmax_result.products.Fmax)
+    sel = np.flatnonzero(F_grid.ravel() >= Flast).astype(np.int64)
+    Fsel = F_grid.ravel()[sel]
+    order = np.argsort(-Fsel, kind="stable")
+    sel = sel[order]
+    n = len(sel)
+    Fs = np.ascontiguousarray(Fsel[order], np.float32)
+    pos = np.ascontiguousarray(sel, np.int32)
+
+    def gather_vel(key):
+        if key not in fmax_result.products.vel:
+            return None
+        v = np.asarray(fmax_result.products.vel[key]).reshape(3, -1)
+        return np.ascontiguousarray(v[:, sel].T, np.float32)
+
+    v1 = gather_vel("v1")
+    v2 = gather_vel("v2")
+    v31 = gather_vel("v31")
+    v32 = gather_vel("v32")
+
+    loc = np.full(N * N * N, -1, np.int32)
+    loc[sel] = np.arange(n, dtype=np.int32)
+    timings["sort"] = time.perf_counter() - t0
+
+    # ---- peaks and capacity ----
+    t0 = time.perf_counter()
+    npeaks = count_peaks(F_grid, Flast)
+    maxg = npeaks + 3
+    timings["peaks"] = time.perf_counter() - t0
+    if verbose:
+        print(f"  fragmentation: {n} stored particles, {npeaks} peaks")
+
+    # ---- tables and parameters ----
+    fpar = fragment_parameters(min(2, params.lpt_order),
+                               params.use_sim_params)
+    tab_lo, tab_dlog, tabs = growth_tables(params, cosmo)
+    sigma_grid = math.sqrt(float(fmax_result.smoothing.true_variance[-1]))
+    outF = np.ascontiguousarray(params.output_F, np.float64)
+    nout = len(outF)
+
+    # ---- capture + output buffers ----
+    cap_name = np.zeros(nout * maxg, np.uint64)
+    cap_mass = np.zeros(nout * maxg, np.int32)
+    cap_q = np.zeros(nout * maxg * 3, np.float32)
+    cap_x = np.zeros(nout * maxg * 3, np.float32)
+    cap_v = np.zeros(nout * maxg * 3, np.float32)
+    cap_count = np.zeros(nout, np.int32)
+
+    g_mass = np.zeros(maxg, np.int32)
+    g_name = np.zeros(maxg, np.uint64)
+    g_halo_app = np.zeros(maxg, np.int32)
+    g_ll = np.zeros(maxg, np.int32)
+    g_mw = np.zeros(maxg, np.int32)
+    g_mam = np.zeros(maxg, np.int32)
+    g_tap = np.zeros(maxg, np.float32)
+    g_tpk = np.zeros(maxg, np.float32)
+    g_tmg = np.zeros(maxg, np.float32)
+    g_good = np.zeros(maxg, np.uint8)
+    g_alive = np.zeros(maxg, np.uint8)
+    g_ngroups = np.zeros(1, np.int32)
+    counters = np.zeros(NCOUNTERS, np.uint64)
+    gop = np.zeros(n, np.int32)
+
+    def p(arr, typ):
+        return arr.ctypes.data_as(typ) if arr is not None else typ()
+
+    si = _SweepInput(
+        n=n,
+        Fmax=p(Fs, _f32p), pos=p(pos, _i32p),
+        v1=p(v1, _f32p), v2=p(v2, _f32p),
+        v31=p(v31, _f32p), v32=p(v32, _f32p),
+        loc=p(loc, _i32p),
+        L=(ctypes.c_int32 * 3)(N, N, N),
+        pbc=(ctypes.c_int32 * 3)(1, 1, 1),
+        safe=(ctypes.c_int32 * 3)(0, 0, 0),
+        stabl=(ctypes.c_int32 * 3)(0, 0, 0),
+        G=(ctypes.c_int32 * 3)(N, N, N),
+        f_m=fpar["f_m"], f_rm=fpar["f_rm"], espo=fpar["espo"],
+        f_a=fpar["f_a"], f_ra=fpar["f_ra"], f_200=fpar["f_200"],
+        sigmaD0=fpar["sigmaD0"], sigma_grid=sigma_grid,
+        min_halo_mass=params.MinHaloMass, lpt_order=params.lpt_order,
+        tab_n=len(tabs["w1"]), tab_lo=tab_lo, tab_dlog=tab_dlog,
+        tab_w1=p(tabs["w1"], _f64p), tab_w2=p(tabs["w2"], _f64p),
+        tab_w31=p(tabs["w31"], _f64p), tab_w32=p(tabs["w32"], _f64p),
+        tab_dv1=p(tabs["dv1"], _f64p), tab_dv2=p(tabs["dv2"], _f64p),
+        tab_dv31=p(tabs["dv31"], _f64p), tab_dv32=p(tabs["dv32"], _f64p),
+        tab_D1=p(tabs["D1"], _f64p),
+        nout=nout, outF=p(outF, _f64p), maxg=maxg)
+
+    cb = _CaptureBuffers(name=p(cap_name, _u64p), mass=p(cap_mass, _i32p),
+                         q=p(cap_q, _f32p), x=p(cap_x, _f32p),
+                         v=p(cap_v, _f32p), count=p(cap_count, _i32p))
+
+    so = _SweepOutput(mass=p(g_mass, _i32p), name=p(g_name, _u64p),
+                      halo_app=p(g_halo_app, _i32p), ll=p(g_ll, _i32p),
+                      merged_with=p(g_mw, _i32p),
+                      mass_at_merger=p(g_mam, _i32p),
+                      t_appear=p(g_tap, _f32p), t_peak=p(g_tpk, _f32p),
+                      t_merge=p(g_tmg, _f32p),
+                      good=p(g_good, _u8p), alive=p(g_alive, _u8p),
+                      ngroups=p(g_ngroups, _i32p),
+                      counters=p(counters, _u64p),
+                      group_of_particle=p(gop, _i32p))
+
+    lib = native.load("groupsweep")
+    lib.sweep.restype = ctypes.c_int
+    lib.sweep.argtypes = [ctypes.POINTER(_SweepInput),
+                          ctypes.POINTER(_CaptureBuffers),
+                          ctypes.POINTER(_SweepOutput)]
+
+    t0 = time.perf_counter()
+    rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so))
+    timings["sweep"] = time.perf_counter() - t0
+    if rc != 0:
+        raise RuntimeError(f"group sweep failed with code {rc} "
+                           f"(-2 = peak-capacity overflow)")
+
+    catalogs = []
+    for iout, z in enumerate(params.output_z):
+        c = int(cap_count[iout])
+        base = iout * maxg
+        catalogs.append(CatalogSnapshot(
+            z=z,
+            name=cap_name[base:base + c].copy(),
+            mass=cap_mass[base:base + c].copy(),
+            q=cap_q[3 * base:3 * (base + c)].reshape(-1, 3).copy(),
+            x=cap_x[3 * base:3 * (base + c)].reshape(-1, 3).copy(),
+            v=cap_v[3 * base:3 * (base + c)].reshape(-1, 3).copy()))
+
+    ng = int(g_ngroups[0])
+    groups = GroupState(
+        ngroups=ng, mass=g_mass[:ng + 1], name=g_name[:ng + 1],
+        halo_app=g_halo_app[:ng + 1], ll=g_ll[:ng + 1],
+        merged_with=g_mw[:ng + 1], mass_at_merger=g_mam[:ng + 1],
+        t_appear=g_tap[:ng + 1], t_peak=g_tpk[:ng + 1],
+        t_merge=g_tmg[:ng + 1], good=g_good[:ng + 1], alive=g_alive[:ng + 1])
+
+    timings["total"] = time.perf_counter() - t_all
+    if verbose:
+        print(f"  sweep: {timings['sweep']:.2f}s; peaks {counters[0]}, "
+              f"good halos {counters[14]}, accretions {counters[7]}, "
+              f"mergers {counters[10]}, filament particles {counters[12]}")
+    return FragmentResult(catalogs=catalogs, groups=groups,
+                          counters=counters, npeaks=npeaks, nstored=n,
+                          timings=timings)

@@ -1,0 +1,268 @@
+"""Catalog, mass-function and merger-history writers.
+
+File formats are byte/column compatible with the reference
+(write_halos.c): ascii layouts match the fprintf formats; binary files use
+the fortran-unformatted record scheme with int32 record markers that
+scripts/ReadPinocchio5.py parses.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List
+
+import numpy as np
+
+from ..config import Params
+from ..cosmology import Cosmology
+from ..fragment.driver import CatalogSnapshot, FragmentResult, GroupState
+
+DELTAM = 0.05
+FILAMENT = 1
+
+# catalog_data layout (pinocchio.h:515-524): u64 name; f32 M, x[3], v[3],
+# q[3]; i32 n, pad
+CATALOG_DTYPE = np.dtype([("name", "<u8"), ("M", "<f4"),
+                          ("x", "<f4", 3), ("v", "<f4", 3), ("q", "<f4", 3),
+                          ("n", "<i4"), ("pad", "<i4")])
+
+# histories_data layout (pinocchio.h:454-459)
+HISTORIES_DTYPE = np.dtype([("name", "<u8"), ("nick", "<i4"), ("ll", "<i4"),
+                            ("mw", "<i4"), ("mass", "<i4"), ("mam", "<i4"),
+                            ("zme", "<f4"), ("zpe", "<f4"), ("zap", "<f4")])
+
+
+def largest_halo_mass(params: Params, cosmo: Cosmology) -> float:
+    """Largest halo expected in the box (set_subboxes,
+    initialization.c:940-948)."""
+    m = 1.e18
+    cc = 1.0 / params.BoxSize_htrue ** 3
+    while cosmo.AnalyticMassFunction(m, params.zlast) * m < cc:
+        m *= 0.99
+        if m < 1e6:
+            break
+    return m
+
+
+def _catalog_filename(params: Params, z: float, kind: str = "catalog"):
+    return f"pinocchio.{z:6.4f}.{params.RunFlag}.{kind}.out"
+
+
+def convert_catalog_units(params: Params, snap: CatalogSnapshot):
+    """Grid-unit capture -> physical output units (write_catalog,
+    write_halos.c:283-318)."""
+    hfac = params.Hubble100 if params.OutputInH100 else 1.0
+    G = float(params.GridSize)
+    q = np.mod(snap.q, G) * params.InterPartDist * hfac
+    x = np.mod(snap.x, G) * params.InterPartDist * hfac
+    M = snap.mass * params.ParticleMass * hfac
+    return M.astype(np.float32), q.astype(np.float32), \
+        x.astype(np.float32), snap.v
+
+
+def write_catalog(params: Params, snap: CatalogSnapshot,
+                  directory: str = ".") -> str:
+    M, q, x, v = convert_catalog_units(params, snap)
+    path = os.path.join(directory, _catalog_filename(params, snap.z))
+    n = len(M)
+    if params.CatalogInAscii:
+        with open(path, "w") as fd:
+            mh = params.MinHaloMass
+            fd.write(f"# Group catalog for redshift {snap.z:f} and minimal "
+                     f"mass of {mh} particle{'' if mh == 1 else 's'}\n")
+            labh = "/h" if params.OutputInH100 else ""
+            fd.write(f"#    1) group ID\n")
+            fd.write(f"#    2) group mass (Msun{labh})\n")
+            fd.write(f"# 3- 5) initial position (Mpc{labh})\n")
+            fd.write(f"# 6- 8) final position (Mpc{labh})\n")
+            fd.write(f"# 9-11) velocity (km/s)\n")
+            fd.write(f"#   12) number of particles\n")
+            fd.write("#\n")
+            for i in range(n):
+                fd.write(" %12lu %13.6e %10.2f %10.2f %10.2f %10.2f %10.2f "
+                         "%10.2f %10.2f %10.2f %10.2f %12d\n"
+                         % (snap.name[i], M[i], q[i, 0], q[i, 1], q[i, 2],
+                            x[i, 0], x[i, 1], x[i, 2],
+                            v[i, 0], v[i, 1], v[i, 2], snap.mass[i]))
+    else:
+        rec = np.zeros(n, CATALOG_DTYPE)
+        rec["name"] = snap.name
+        rec["M"] = M
+        rec["x"] = x
+        rec["v"] = v
+        rec["q"] = q
+        rec["n"] = snap.mass
+        with open(path, "wb") as fd:
+            _write_record(fd, np.array([1, CATALOG_DTYPE.itemsize], "<i4"))
+            _write_record(fd, np.array([n], "<i4"))
+            if n:
+                _write_record(fd, rec)
+    return path
+
+
+def _write_record(fd, arr: np.ndarray):
+    marker = np.array([arr.nbytes], "<i4")
+    marker.tofile(fd)
+    arr.tofile(fd)
+    marker.tofile(fd)
+
+
+def compute_mf(params: Params, cosmo: Cosmology, snap: CatalogSnapshot,
+               directory: str = ".", largest: float = None) -> str:
+    """Halo mass function with Poisson errors + analytic fit
+    (compute_mf, write_halos.c:35-192)."""
+    hfac = params.Hubble100 if params.OutputInH100 else 1.0
+    hfac4 = hfac ** 4
+    vol = params.GridSize ** 3 * params.InterPartDist ** 3
+    mmin = math.log10(params.MinHaloMass * params.ParticleMass) \
+        - 0.001 * DELTAM
+    if largest is None:
+        largest = largest_halo_mass(params, cosmo)
+    mmax = math.log10(largest) + 3.0 * DELTAM
+    nbin = int((mmax - mmin) / DELTAM) + 1
+
+    amass = snap.mass.astype(np.float64) * params.ParticleMass
+    ibin = ((np.log10(amass) - mmin) / DELTAM).astype(int)
+    okbin = (ibin >= 0) & (ibin < nbin)
+    ninbin = np.bincount(ibin[okbin], minlength=nbin)
+    massinbin = np.bincount(ibin[okbin], weights=amass[okbin],
+                            minlength=nbin)
+
+    D = float(cosmo.GrowingMode(snap.z, params.k_for_GM))
+    path = os.path.join(directory, _catalog_filename(params, snap.z, "mf"))
+    names = {0: "Press & Schechter 1974", 1: "Sheth & Tormen 2001",
+             2: "Jenkins et al. 2001", 3: "Warren et al. 2006",
+             4: "Reed et al. 2007", 5: "Crocce et al. 2010",
+             6: "Tinker et al. 2010", 7: "Courtin et al. 2010",
+             8: "Angulo et al. 2012", 9: "Watson et al. 2013",
+             10: "Crocce et al. 2010, universal"}
+    with open(path, "w") as fd:
+        lab1 = "/h" if params.OutputInH100 else ""
+        lab2 = "h^4" if params.OutputInH100 else ""
+        fd.write(f"# Mass function for redshift {snap.z:f}\n")
+        fd.write(f"# 1) mass (Msun{lab1})\n")
+        fd.write(f"# 2) n(m) (Mpc^-3 Msun^-1 {lab2})\n")
+        fd.write(f"# 3) upper +1-sigma limit for n(m) (Mpc^-3 Msun^-1 "
+                 f"{lab2})\n")
+        fd.write(f"# 4) lower -1-sigma limit for n(m) (Mpc^-3 Msun^-1 "
+                 f"{lab2})\n")
+        fd.write("# 5) number of halos in the bin\n")
+        fd.write(f"# 6) analytical n(m) from "
+                 f"{names[params.AnalyticMassFunction]}\n")
+        fd.write("#\n")
+        pm = params.ParticleMass
+        for i in range(nbin):
+            x = mmin + (i + 0.5) * DELTAM
+            m = 10.0 ** x
+            dm = pm * (int(10.0 ** (mmin + (i + 1) * DELTAM) / pm)
+                       - int(10.0 ** (mmin + i * DELTAM) / pm))
+            if dm > 0.0:
+                a = ninbin[i] / vol / dm
+                a1 = (ninbin[i] + math.sqrt(ninbin[i])) / vol / dm
+                a2 = (ninbin[i] - math.sqrt(ninbin[i])) / vol / dm
+            else:
+                a = a1 = a2 = 0.0
+            mx = massinbin[i] / ninbin[i] if ninbin[i] > 1 else m
+            a3 = float(cosmo.AnalyticMassFunction(mx, snap.z))
+            r = float(cosmo.SizeForMass(mx))
+            sigma = math.sqrt(float(cosmo.var_tophat.MassVariance(r))
+                              * D * D)
+            ni = 1.686 / sigma
+            fd.write(" %15.8g %15.8g %15.8g %15.8g   %10d  %15.8g    "
+                     "%15.8g\n" % (mx * hfac, a / hfac4, a1 / hfac4,
+                                   a2 / hfac4, ninbin[i], a3 / hfac4, ni))
+    return path
+
+
+def build_histories(groups: GroupState, min_halo_mass: int):
+    """Assemble the per-tree branch catalog (write_histories,
+    write_halos.c:897-966): trees are walked from each main halo along the
+    circular ll list; nicknames are per-tree indices."""
+    ng = groups.ngroups
+    mask_main = np.zeros(ng + 1, bool)
+    for i in range(FILAMENT + 1, ng + 1):
+        if (groups.halo_app[i] == i and groups.good[i]
+                and groups.mass[i] >= min_halo_mass):
+            mask_main[i] = True
+
+    def ftoz(a):
+        return a - 1.0 if a > 0 else a
+
+    trees = []          # list of structured arrays, one per tree
+    trackC = np.zeros(ng + 1, np.int32)
+    for i in np.flatnonzero(mask_main):
+        # count branches
+        nb = 0
+        nxt = i
+        while True:
+            nb += 1
+            nxt = groups.ll[nxt]
+            if nxt == i:
+                break
+        rec = np.zeros(nb, HISTORIES_DTYPE)
+        branch_groups = np.zeros(nb, np.int64)
+        ib = 0
+        nxt = i
+        while True:
+            branch_groups[ib] = nxt
+            nick = ib if ib else nb
+            trackC[nxt] = nick
+            rec[ib]["nick"] = nick
+            rec[ib]["ll"] = ib + 1
+            rec[ib]["mass"] = groups.mass[nxt]
+            rec[ib]["name"] = groups.name[nxt]
+            rec[ib]["mam"] = groups.mass_at_merger[nxt]
+            rec[ib]["zap"] = ftoz(groups.t_appear[nxt])
+            rec[ib]["zpe"] = ftoz(groups.t_peak[nxt])
+            rec[ib]["zme"] = ftoz(groups.t_merge[nxt])
+            ib += 1
+            nxt = groups.ll[nxt]
+            if nxt == i:
+                break
+        for ib in range(nb):
+            mw = groups.merged_with[branch_groups[ib]]
+            rec[ib]["mw"] = trackC[mw] if mw > FILAMENT else -1
+        trees.append(rec)
+    return trees
+
+
+def write_histories(params: Params, groups: GroupState,
+                    directory: str = ".") -> str:
+    trees = build_histories(groups, params.MinHaloMass)
+    ntrees = len(trees)
+    nbranch = sum(len(t) for t in trees)
+    path = os.path.join(directory,
+                        f"pinocchio.{params.RunFlag}.histories.out")
+    if params.CatalogInAscii:
+        with open(path, "w") as fd:
+            mh = params.MinHaloMass
+            fd.write(f"# Merger histories for halos with minimal mass of "
+                     f"{mh} particle{'' if mh == 1 else 's'}\n")
+            for line in ("#  1) group ID", "#  2) index within the tree",
+                         "#  3) linking list", "#  4) merged with",
+                         "#  5) mass of halo at merger (particles)",
+                         "#  6) mass of main halo it merges with, at merger "
+                         "(particles)",
+                         "#  7) merger redshift",
+                         "#  8) redshift of peak collapse",
+                         "#  9) redshift at which the halo overtakes the "
+                         "minimal mass", "#", "# Ntrees & Nbranches: "):
+                fd.write(line + "\n")
+            fd.write(f" {ntrees}  {nbranch}\n")
+            for itree, rec in enumerate(trees):
+                fd.write(f"#Tree {itree}, Nbranches={len(rec)}\n")
+                for r in rec:
+                    fd.write(" %12d %6d %6d %6d %9d %9d %9.4f %9.4f %9.4f\n"
+                             % (r["name"], r["nick"], r["ll"], r["mw"],
+                                r["mass"], r["mam"], r["zme"], r["zpe"],
+                                r["zap"]))
+    else:
+        with open(path, "wb") as fd:
+            _write_record(fd, np.array([HISTORIES_DTYPE.itemsize], "<i4"))
+            _write_record(fd, np.array([ntrees, nbranch], "<i4"))
+            _write_record(fd, np.array([len(t) for t in trees], "<i4"))
+            if nbranch:
+                _write_record(fd, np.concatenate(trees)
+                              if trees else np.zeros(0, HISTORIES_DTYPE))
+    return path

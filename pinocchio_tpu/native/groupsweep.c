@@ -1,0 +1,774 @@
+/* groupsweep.c — sequential halo-construction sweep for pinocchio-tpu.
+ *
+ * Native (C) implementation of the fragmentation group builder: the strictly
+ * sequential-in-collapse-time sweep that turns per-particle collapse times
+ * Fmax + LPT displacements into halos, merger trees and catalogs.
+ *
+ * Math contract follows the reference build_groups.c (see repo SURVEY.md):
+ *   - peak / accretion / merging decision rules (build_groups.c:184-934)
+ *   - capture radius "virial" (build_groups.c:1023-1108)
+ *   - mass-weighted PBC-aware center updates (build_groups.c:1670-1728)
+ *   - merger-tree bookkeeping (update_history, build_groups.c:1186-1240)
+ *   - catalog capture at output redshifts (write_catalog, write_halos.c)
+ *
+ * Design differences from the reference (fresh implementation):
+ *   - struct-of-arrays group state instead of group_data structs
+ *   - O(1) dense grid->particle lookup instead of bsearch on sorted_pos
+ *   - union-find with path halving for particle->group resolution instead
+ *     of relabeling every particle of the absorbed group at merge time
+ *   - growth-factor interpolation via caller-provided log10(F) tables
+ *     instead of GSL splines (tables are dense enough to be exact at fp32)
+ *
+ * Compiled as a plain shared library; driven through ctypes.
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <stdio.h>
+
+#define FILAMENT 1
+#define SHIFT 0.5
+#define ORDER_FOR_GROUPS 2
+#define ORDER_FOR_CATALOG 3
+
+/* ------------------------------------------------------------------ */
+/* configuration handed over from Python (all pointers borrowed)      */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    /* sorted particle data (descending Fmax) */
+    int64_t n;              /* number of stored collapsed particles */
+    const float *Fmax;      /* [n] */
+    const int32_t *pos;     /* [n] linear cell index, z fastest */
+    const float *v1;        /* [n*3] interleaved xyz */
+    const float *v2;        /* [n*3] or NULL */
+    const float *v31;       /* [n*3] or NULL */
+    const float *v32;       /* [n*3] or NULL */
+    const int32_t *loc;     /* [Lx*Ly*Lz] cell -> particle index or -1 */
+
+    /* geometry */
+    int32_t L[3];           /* local grid-with-boundary dims */
+    int32_t pbc[3];
+    int32_t safe[3];
+    int32_t stabl[3];       /* offset of local grid in the global grid */
+    int32_t G[3];           /* global grid dims */
+
+    /* fragmentation parameters (set_fragment_parameters, fragment.c:48) */
+    double f_m, f_rm, espo, f_a, f_ra, f_200, sigmaD0;
+    double sigma_grid;      /* sqrt(TrueVariance[Nsmooth-1]) */
+    int32_t min_halo_mass;
+    int32_t lpt_order;      /* 1, 2 or 3: fields available */
+
+    /* growth tables on a uniform log10(F) grid */
+    int32_t tab_n;
+    double tab_lo, tab_dlog;
+    const double *tab_w1, *tab_w2, *tab_w31, *tab_w32; /* D_i(z)/D_i(zlast) */
+    const double *tab_dv1, *tab_dv2, *tab_dv31, *tab_dv32; /* vel factors */
+    const double *tab_D1;   /* D(z) for sigmaD in virial() */
+
+    /* outputs */
+    int32_t nout;
+    const double *outF;     /* 1+z of each output, descending F order */
+
+    int32_t maxg;           /* capacity of group arrays (Npeaks + 3) */
+} sweep_input;
+
+/* group state (struct of arrays), allocated by the sweep */
+typedef struct {
+    int32_t *mass;
+    float *q;               /* [maxg*3] Lagrangian CM, local grid coords */
+    float *gv1, *gv2, *gv31, *gv32;   /* [maxg*3] mass-weighted mean */
+    uint64_t *name;
+    float *t_peak, *t_appear, *t_merge;
+    int32_t *mass_at_merger, *merged_with;
+    int32_t *halo_app, *ll;
+    uint8_t *good, *alive;
+    int32_t *parent;        /* union-find over group ids */
+    int32_t ngroups;
+} group_state;
+
+/* catalog capture buffers (provided by Python, capacity nout*maxg) */
+typedef struct {
+    uint64_t *name;
+    int32_t *mass;
+    float *q, *x, *v;       /* [cap*3] */
+    int32_t *count;         /* [nout] rows per output */
+} capture_buffers;
+
+/* final per-group output (provided by Python, capacity maxg) */
+typedef struct {
+    int32_t *mass;
+    uint64_t *name;
+    int32_t *halo_app, *ll, *merged_with, *mass_at_merger;
+    float *t_appear, *t_peak, *t_merge;
+    uint8_t *good, *alive;
+    int32_t *ngroups;
+    uint64_t *counters;     /* [16] event counters */
+    int32_t *group_of_particle;  /* [n] final group id per particle, or 0/1 */
+} sweep_output;
+
+/* ------------------------------------------------------------------ */
+
+static const sweep_input *I;
+static group_state G;
+
+static inline double tab_interp(const double *tab, double F)
+{
+    double t = (log10(F) - I->tab_lo) / I->tab_dlog;
+    if (t <= 0.0) return tab[0];
+    int i = (int)t;
+    if (i >= I->tab_n - 1) return tab[I->tab_n - 1];
+    double w = t - i;
+    return tab[i] * (1.0 - w) + tab[i + 1] * w;
+}
+
+static inline int32_t uf_find(int32_t g)
+{
+    while (G.parent[g] != g) {
+        G.parent[g] = G.parent[G.parent[g]];   /* path halving */
+        g = G.parent[g];
+    }
+    return g;
+}
+
+/* weights for moving objects to redshift z = F-1 (set_weight,
+ * build_groups.c:1411-1444, first-segment branch) */
+typedef struct { double w1, w2, w31, w32; } weights_t;
+
+static inline weights_t get_weights(double F)
+{
+    weights_t w;
+    w.w1 = tab_interp(I->tab_w1, F);
+    w.w2 = I->lpt_order >= 2 ? tab_interp(I->tab_w2, F) : 0.0;
+    w.w31 = I->lpt_order >= 3 ? tab_interp(I->tab_w31, F) : 0.0;
+    w.w32 = I->lpt_order >= 3 ? tab_interp(I->tab_w32, F) : 0.0;
+    return w;
+}
+
+/* Eulerian position of a group along dim i at weights w, order `order`
+ * (q2x, build_groups.c:1554-1603) */
+static inline double q2x_group(int i, int32_t g, const weights_t *w,
+                               int order, int wrap)
+{
+    double p = G.q[3 * g + i] + w->w1 * G.gv1[3 * g + i];
+    if (order > 1 && I->lpt_order >= 2)
+        p += w->w2 * G.gv2[3 * g + i];
+    if (order > 2 && I->lpt_order >= 3)
+        p += w->w31 * G.gv31[3 * g + i] + w->w32 * G.gv32[3 * g + i];
+    if (wrap && I->pbc[i]) {
+        double L = (double)I->L[i];
+        if (p >= L) p -= L;
+        if (p < 0.0) p += L;
+    }
+    return p;
+}
+
+static inline double q2x_point(int i, const double *q, const float *v1,
+                               const float *v2, const float *v31,
+                               const float *v32, const weights_t *w,
+                               int order, int wrap)
+{
+    double p = q[i] + w->w1 * v1[i];
+    if (order > 1 && v2)
+        p += w->w2 * v2[i];
+    if (order > 2 && v31)
+        p += w->w31 * v31[i] + w->w32 * v32[i];
+    if (wrap && I->pbc[i]) {
+        double L = (double)I->L[i];
+        if (p >= L) p -= L;
+        if (p < 0.0) p += L;
+    }
+    return p;
+}
+
+/* capture radius squared (virial, build_groups.c:1023-1108) */
+static inline double virial2(int32_t mass, double F, int accretion_flag)
+{
+    double rlag = pow((double)mass, 0.333333333333333);
+    double sigmaD = I->sigma_grid * tab_interp(I->tab_D1, F);
+    double r;
+    if (!accretion_flag)
+        r = I->f_m * pow(rlag, I->espo) *
+            (sigmaD > I->sigmaD0 ? 1.0 + (sigmaD - I->sigmaD0) * I->f_rm : 1.0);
+    else
+        r = I->f_a * pow(rlag, I->espo) *
+            (sigmaD > I->sigmaD0 ? 1.0 + (sigmaD - I->sigmaD0) * I->f_ra : 1.0);
+    double r200 = I->f_200 * rlag;
+    return r * r + r200 * r200;
+}
+
+static inline double wrap_d(int i, double d)
+{
+    if (I->pbc[i]) {
+        double halfL = (double)I->L[i] / 2.0;
+        if (d > halfL) d -= (double)I->L[i];
+        if (d < -halfL) d += (double)I->L[i];
+    }
+    return d;
+}
+
+/* distance^2 between particle (cell ix,iy,iz, data index ip) and group g
+ * at time F, early-exiting dim by dim (condition_for_accretion,
+ * build_groups.c:1286-1317). Returns d2 if below r2, else a large value. */
+static inline void cond_accretion(int ix, int iy, int iz, int64_t ip,
+                                  double F, int32_t g,
+                                  double *dd, double *rr)
+{
+    weights_t w = get_weights(F);
+    double q[3] = { ix + SHIFT, iy + SHIFT, iz + SHIFT };
+    const float *v1 = I->v1 + 3 * ip;
+    const float *v2 = I->v2 ? I->v2 + 3 * ip : NULL;
+    const float *v31 = I->v31 ? I->v31 + 3 * ip : NULL;
+    const float *v32 = I->v32 ? I->v32 + 3 * ip : NULL;
+
+    *rr = virial2(G.mass[g], F, 1);
+    *dd = 100.0 * (*rr);
+
+    double d = wrap_d(0, q2x_point(0, q, v1, v2, v31, v32, &w,
+                                   ORDER_FOR_GROUPS, 1)
+                      - q2x_group(0, g, &w, ORDER_FOR_GROUPS, 1));
+    double d2 = d * d;
+    if (d2 < *rr) {
+        d = wrap_d(1, q2x_point(1, q, v1, v2, v31, v32, &w,
+                                ORDER_FOR_GROUPS, 1)
+                   - q2x_group(1, g, &w, ORDER_FOR_GROUPS, 1));
+        d2 += d * d;
+        if (d2 < *rr) {
+            d = wrap_d(2, q2x_point(2, q, v1, v2, v31, v32, &w,
+                                    ORDER_FOR_GROUPS, 1)
+                       - q2x_group(2, g, &w, ORDER_FOR_GROUPS, 1));
+            d2 += d * d;
+            if (d2 <= *rr)
+                *dd = d2;
+        }
+    }
+}
+
+/* condition_for_merging (build_groups.c:1320-1348) */
+static inline int cond_merging(double F, int32_t g1, int32_t g2)
+{
+    double r1 = virial2(G.mass[g1], F, 0);
+    double r2 = virial2(G.mass[g2], F, 0);
+    double rr = r1 > r2 ? r1 : r2;
+    weights_t w = get_weights(F);
+
+    double d = wrap_d(0, q2x_group(0, g2, &w, ORDER_FOR_GROUPS, 1)
+                      - q2x_group(0, g1, &w, ORDER_FOR_GROUPS, 1));
+    double dd = d * d;
+    if (dd < rr) {
+        d = wrap_d(1, q2x_group(1, g2, &w, ORDER_FOR_GROUPS, 1)
+                   - q2x_group(1, g1, &w, ORDER_FOR_GROUPS, 1));
+        dd += d * d;
+        if (dd < rr) {
+            d = wrap_d(2, q2x_group(2, g2, &w, ORDER_FOR_GROUPS, 1)
+                       - q2x_group(2, g1, &w, ORDER_FOR_GROUPS, 1));
+            dd += d * d;
+            if (dd <= rr)
+                return 1;
+        }
+    }
+    return 0;
+}
+
+/* mass-weighted PBC-aware merge of Lagrangian CM and mean velocities
+ * (update, build_groups.c:1670-1728); b is merged into a */
+static void state_update(int32_t M1, double q1[3], float *vs1[4],
+                         int32_t M2, const double q2[3],
+                         const float *vs2[4])
+{
+    double Mtot = (double)M1 + (double)M2;
+    for (int i = 0; i < 3; i++) {
+        double a = q1[i], b = q2[i];
+        if (!I->pbc[i]) {
+            q1[i] = (a * M1 + b * M2) / Mtot;
+        } else {
+            double L = (double)I->L[i], halfL = L / 2.0;
+            double d = fabs(a - b);
+            if (d <= halfL)
+                q1[i] = (a * M1 + b * M2) / Mtot;
+            else if (a > halfL)
+                q1[i] = (a * M1 + (b + L) * M2) / Mtot;
+            else
+                q1[i] = (a * M1 + (b - L) * M2) / Mtot;
+            if (q1[i] > L) q1[i] -= L;
+            if (q1[i] < 0.0) q1[i] += L;
+        }
+        for (int o = 0; o < 4; o++)
+            if (vs1[o])
+                vs1[o][i] = (float)((vs1[o][i] * M1 + vs2[o][i] * M2) / Mtot);
+    }
+}
+
+/* accrete particle (cell ix,iy,iz, index ip) onto group g at time F
+ * (accretion, build_groups.c:1243-1281) */
+static int32_t *group_of_particle_arr;   /* [n] */
+
+static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
+                         double F)
+{
+    double q1[3] = { G.q[3 * g], G.q[3 * g + 1], G.q[3 * g + 2] };
+    float *vs1[4] = { G.gv1 + 3 * g,
+                      I->v2 ? G.gv2 + 3 * g : NULL,
+                      I->v31 ? G.gv31 + 3 * g : NULL,
+                      I->v32 ? G.gv32 + 3 * g : NULL };
+    double q2[3] = { ix + SHIFT, iy + SHIFT, iz + SHIFT };
+    const float *vs2[4] = { I->v1 + 3 * ip,
+                            I->v2 ? I->v2 + 3 * ip : NULL,
+                            I->v31 ? I->v31 + 3 * ip : NULL,
+                            I->v32 ? I->v32 + 3 * ip : NULL };
+    state_update(G.mass[g], q1, vs1, 1, q2, vs2);
+    for (int i = 0; i < 3; i++)
+        G.q[3 * g + i] = (float)q1[i];
+    G.mass[g] += 1;
+
+    if (G.mass[g] >= I->min_halo_mass && G.t_appear[g] == -1.0f)
+        G.t_appear[g] = (float)F;
+
+    group_of_particle_arr[ip] = g;
+}
+
+/* merger-tree linked-list bookkeeping (update_history,
+ * build_groups.c:1186-1240): g2 flows into g1 */
+static void update_history(int32_t g1, int32_t g2, double F)
+{
+    int32_t old_i;
+    if (G.ll[g1] == g1 && G.ll[g2] == g2) {
+        G.ll[g1] = g2;
+        G.ll[g2] = g1;
+    } else if (G.ll[g1] != g1 && G.ll[g2] == g2) {
+        G.ll[g2] = g1;
+        old_i = g1;
+        while (G.ll[old_i] != g1)
+            old_i = G.ll[old_i];
+        G.ll[old_i] = g2;
+    } else if (G.ll[g1] == g1 && G.ll[g2] != g2) {
+        old_i = g2;
+        while (G.ll[old_i] != g2) {
+            old_i = G.ll[old_i];
+            G.halo_app[old_i] = g1;
+        }
+        G.halo_app[g2] = g1;
+        G.ll[g1] = G.ll[g2];
+        G.ll[g2] = g1;
+    } else {
+        old_i = g2;
+        while (G.ll[old_i] != g2) {
+            old_i = G.ll[old_i];
+            G.halo_app[old_i] = g1;
+        }
+        old_i = g1;
+        while (G.ll[old_i] != g1)
+            old_i = G.ll[old_i];
+        G.ll[old_i] = G.ll[g2];
+        G.ll[g2] = g1;
+    }
+    G.halo_app[g2] = g1;
+    G.t_merge[g2] = (float)F;
+    G.mass_at_merger[g2] = G.mass[g1];
+    G.merged_with[g2] = g1;
+}
+
+/* merge grp2 into grp1 (merge_groups, build_groups.c:1115-1183) */
+static void do_merge(int32_t g1, int32_t g2, double F)
+{
+    G.parent[g2] = g1;                       /* union-find relabel */
+
+    if (G.mass[g1] >= I->min_halo_mass && G.mass[g2] >= I->min_halo_mass)
+        update_history(g1, g2, F);
+
+    double q1[3] = { G.q[3 * g1], G.q[3 * g1 + 1], G.q[3 * g1 + 2] };
+    float *vs1[4] = { G.gv1 + 3 * g1,
+                      I->v2 ? G.gv2 + 3 * g1 : NULL,
+                      I->v31 ? G.gv31 + 3 * g1 : NULL,
+                      I->v32 ? G.gv32 + 3 * g1 : NULL };
+    double q2[3] = { G.q[3 * g2], G.q[3 * g2 + 1], G.q[3 * g2 + 2] };
+    const float *vs2[4] = { G.gv1 + 3 * g2,
+                            I->v2 ? G.gv2 + 3 * g2 : NULL,
+                            I->v31 ? G.gv31 + 3 * g2 : NULL,
+                            I->v32 ? G.gv32 + 3 * g2 : NULL };
+    state_update(G.mass[g1], q1, vs1, G.mass[g2], q2, vs2);
+    for (int i = 0; i < 3; i++)
+        G.q[3 * g1 + i] = (float)q1[i];
+    G.mass[g1] += G.mass[g2];
+    G.alive[g2] = 0;
+
+    if (G.mass[g1] >= I->min_halo_mass && G.t_appear[g1] == -1.0f)
+        G.t_appear[g1] = (float)F;
+}
+
+/* write a catalog snapshot for output iout (write_catalog,
+ * write_halos.c:267-318, reduced to the capture step: unit conversion is
+ * done by the Python caller) */
+static void capture_catalog(int iout, const capture_buffers *cap)
+{
+    double Fout = I->outF[iout];
+    weights_t w = get_weights(Fout);
+    double dv1 = tab_interp(I->tab_dv1, Fout);
+    double dv2 = I->lpt_order >= 2 ? tab_interp(I->tab_dv2, Fout) : 0.0;
+    double dv31 = I->lpt_order >= 3 ? tab_interp(I->tab_dv31, Fout) : 0.0;
+    double dv32 = I->lpt_order >= 3 ? tab_interp(I->tab_dv32, Fout) : 0.0;
+
+    int64_t base = (int64_t)iout * I->maxg;
+    int32_t cnt = 0;
+    for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++) {
+        if (!G.alive[g] || !G.good[g] || G.mass[g] < I->min_halo_mass)
+            continue;
+        int64_t row = base + cnt;
+        cap->name[row] = G.name[g];
+        cap->mass[row] = G.mass[g];
+        for (int i = 0; i < 3; i++) {
+            cap->q[3 * row + i] = G.q[3 * g + i];
+            cap->x[3 * row + i] =
+                (float)q2x_group(i, g, &w, ORDER_FOR_CATALOG, 1);
+            double vv = G.gv1[3 * g + i] * dv1 * w.w1;
+            if (I->lpt_order >= 2)
+                vv += G.gv2[3 * g + i] * dv2 * w.w2;
+            if (I->lpt_order >= 3)
+                vv += G.gv31[3 * g + i] * dv31 * w.w31
+                    + G.gv32[3 * g + i] * dv32 * w.w32;
+            cap->v[3 * row + i] = (float)vv;
+        }
+        cnt++;
+    }
+    cap->count[iout] = cnt;
+}
+
+/* ------------------------------------------------------------------ */
+/* the sweep itself                                                   */
+/* ------------------------------------------------------------------ */
+
+int sweep(const sweep_input *in, const capture_buffers *cap,
+          const sweep_output *out)
+{
+    I = in;
+    const int32_t Lx = in->L[0], Ly = in->L[1], Lz = in->L[2];
+    const int32_t maxg = in->maxg;
+
+    /* allocate group state */
+    memset(&G, 0, sizeof(G));
+    G.mass = calloc(maxg, sizeof(int32_t));
+    G.q = calloc(maxg * 3, sizeof(float));
+    G.gv1 = calloc(maxg * 3, sizeof(float));
+    G.gv2 = in->v2 ? calloc(maxg * 3, sizeof(float)) : NULL;
+    G.gv31 = in->v31 ? calloc(maxg * 3, sizeof(float)) : NULL;
+    G.gv32 = in->v32 ? calloc(maxg * 3, sizeof(float)) : NULL;
+    G.name = calloc(maxg, sizeof(uint64_t));
+    G.t_peak = calloc(maxg, sizeof(float));
+    G.t_appear = calloc(maxg, sizeof(float));
+    G.t_merge = calloc(maxg, sizeof(float));
+    G.mass_at_merger = calloc(maxg, sizeof(int32_t));
+    G.merged_with = calloc(maxg, sizeof(int32_t));
+    G.halo_app = calloc(maxg, sizeof(int32_t));
+    G.ll = calloc(maxg, sizeof(int32_t));
+    G.good = calloc(maxg, sizeof(uint8_t));
+    G.alive = calloc(maxg, sizeof(uint8_t));
+    G.parent = calloc(maxg, sizeof(int32_t));
+    if (!G.mass || !G.q || !G.gv1 || !G.name || !G.parent)
+        return -1;
+    for (int32_t g = 0; g < maxg; g++) {
+        G.parent[g] = g;
+        G.merged_with[g] = -1;
+        G.t_appear[g] = G.t_merge[g] = -1.0f;
+    }
+    G.ngroups = FILAMENT;
+
+    group_of_particle_arr = out->group_of_particle;
+
+    uint64_t *ctr = out->counters;   /* [16] */
+    memset(ctr, 0, 16 * sizeof(uint64_t));
+
+    int iout = 0;
+    int32_t neigh[6];
+    int64_t fil_idx[6];
+    int fil_xyz[6][3];
+
+    for (int64_t this_z = 0; this_z < in->n; this_z++) {
+        const double F = (double)in->Fmax[this_z];
+        const int32_t p = in->pos[this_z];
+
+        /* cell coordinates, z fastest */
+        const int iz = p % Lz;
+        const int32_t kk = p / Lz;
+        const int iy = kk % Ly;
+        const int ix = kk / Ly;
+
+        int skip = 0;
+        if (!in->pbc[0] && (ix == 0 || ix == Lx - 1)) skip++;
+        if (!in->pbc[1] && (iy == 0 || iy == Ly - 1)) skip++;
+        if (!in->pbc[2] && (iz == 0 || iz == Lz - 1)) skip++;
+
+        const int gx = (ix + in->stabl[0] + in->G[0]) % in->G[0];
+        const int gy = (iy + in->stabl[1] + in->G[1]) % in->G[1];
+        const int gz = (iz + in->stabl[2] + in->G[2]) % in->G[2];
+        const uint64_t particle_name =
+            (uint64_t)gz + (uint64_t)in->G[2] *
+            ((uint64_t)gy + (uint64_t)in->G[1] * (uint64_t)gx);
+
+        const int good_particle =
+            (ix >= in->safe[0] && ix < Lx - in->safe[0] &&
+             iy >= in->safe[1] && iy < Ly - in->safe[1] &&
+             iz >= in->safe[2] && iz < Lz - in->safe[2]);
+
+        int peak_cond = 1;
+        int neigrp = 0, nf = 0;
+
+        if (!skip) {
+            /* 6-neighbor lookup */
+            for (int nn = 0; nn < 6; nn++) {
+                int x1 = ix, y1 = iy, z1 = iz;
+                switch (nn) {
+                case 0: x1 = (in->pbc[0] && ix == 0 ? Lx - 1 : ix - 1); break;
+                case 1: x1 = (in->pbc[0] && ix == Lx - 1 ? 0 : ix + 1); break;
+                case 2: y1 = (in->pbc[1] && iy == 0 ? Ly - 1 : iy - 1); break;
+                case 3: y1 = (in->pbc[1] && iy == Ly - 1 ? 0 : iy + 1); break;
+                case 4: z1 = (in->pbc[2] && iz == 0 ? Lz - 1 : iz - 1); break;
+                case 5: z1 = (in->pbc[2] && iz == Lz - 1 ? 0 : iz + 1); break;
+                }
+                const int64_t cell =
+                    (int64_t)z1 + (int64_t)Lz * (y1 + (int64_t)Ly * x1);
+                const int32_t q = in->loc[cell];
+                int32_t ng = 0;
+                if (q >= 0) {
+                    int32_t gid = group_of_particle_arr[q];
+                    ng = gid > FILAMENT ? uf_find(gid) : gid;
+                    if (!(F > (double)in->Fmax[q]))
+                        peak_cond = 0;
+                }
+                if (ng == FILAMENT) {
+                    fil_xyz[nf][0] = x1;
+                    fil_xyz[nf][1] = y1;
+                    fil_xyz[nf][2] = z1;
+                    fil_idx[nf] = q;
+                    nf++;
+                    ng = 0;
+                }
+                neigh[nn] = ng;
+            }
+
+            /* dedup neighbour groups, compacting to the front */
+            for (int a = 0; a < 6; a++) {
+                if (neigh[a] <= FILAMENT) continue;
+                int dupl = 0;
+                for (int b = 0; b < neigrp; b++)
+                    if (neigh[b] == neigh[a]) { dupl = 1; break; }
+                if (!dupl)
+                    neigh[neigrp++] = neigh[a];
+            }
+            for (int a = neigrp; a < 6; a++)
+                neigh[a] = 0;
+
+            if (neigrp > 0 && good_particle)
+                ctr[neigrp]++;
+        } else {
+            peak_cond = 0;
+        }
+
+        int accrflag = 0;
+        int32_t to_group = -1;
+
+        if (peak_cond) {
+            /* ---------------- case: peak -> new group ---------------- */
+            if (good_particle) ctr[0]++;
+            G.ngroups++;
+            if (G.ngroups >= maxg)
+                return -2;           /* PredNpeaks overflow */
+            const int32_t g = G.ngroups;
+            G.t_peak[g] = (float)F;
+            G.q[3 * g] = ix + SHIFT;
+            G.q[3 * g + 1] = iy + SHIFT;
+            G.q[3 * g + 2] = iz + SHIFT;
+            for (int i = 0; i < 3; i++) {
+                G.gv1[3 * g + i] = in->v1[3 * this_z + i];
+                if (G.gv2) G.gv2[3 * g + i] = in->v2[3 * this_z + i];
+                if (G.gv31) G.gv31[3 * g + i] = in->v31[3 * this_z + i];
+                if (G.gv32) G.gv32[3 * g + i] = in->v32[3 * this_z + i];
+            }
+            G.mass[g] = 1;
+            G.name[g] = particle_name;
+            G.good[g] = (uint8_t)good_particle;
+            G.alive[g] = 1;
+            G.ll[g] = g;
+            G.halo_app[g] = g;
+            group_of_particle_arr[this_z] = g;
+            if (I->min_halo_mass == 1)
+                G.t_appear[g] = (float)F;
+        } else if (neigrp == 1) {
+            /* ---------------- case: one group ---------------- */
+            double d2, r2;
+            cond_accretion(ix, iy, iz, this_z, F, neigh[0], &d2, &r2);
+            if (d2 < r2) {
+                if (good_particle) ctr[7]++;
+                accrflag = 1;
+                to_group = neigh[0];
+                do_accretion(to_group, ix, iy, iz, this_z, F);
+            } else {
+                if (good_particle) ctr[12]++;
+                G.mass[FILAMENT]++;
+                group_of_particle_arr[this_z] = FILAMENT;
+            }
+        } else if (neigrp > 1) {
+            /* ---------------- case: >1 group ---------------- */
+            double best_ratio = 1e20;
+            int accgrp = -1;
+            for (int a = 0; a < neigrp; a++) {
+                double d2, r2;
+                cond_accretion(ix, iy, iz, this_z, F, neigh[a], &d2, &r2);
+                double ratio = d2 / r2;
+                if (ratio < 1.0 && ratio < best_ratio) {
+                    best_ratio = ratio;
+                    accgrp = a;
+                }
+            }
+            if (accgrp >= 0) {
+                if (good_particle) { ctr[7]++; ctr[8]++; }
+                accrflag = 1;
+                to_group = neigh[accgrp];
+                do_accretion(to_group, ix, iy, iz, this_z, F);
+            }
+
+            /* pairwise merging; larger keeps the id */
+            int nmerge = 0;
+            char merge[6][6];
+            for (int a = 0; a < neigrp; a++)
+                for (int b = 0; b < a; b++) {
+                    merge[a][b] = (char)cond_merging(F, neigh[a], neigh[b]);
+                    nmerge += merge[a][b];
+                }
+            if (nmerge > 0) {
+                for (int a = 0; a < neigrp; a++)
+                    for (int b = 0; b < a; b++)
+                        if (merge[a][b] && neigh[a] != neigh[b]) {
+                            if (good_particle) ctr[10]++;
+                            int32_t large, small;
+                            if (G.mass[neigh[a]] > G.mass[neigh[b]]) {
+                                large = neigh[a]; small = neigh[b];
+                            } else {
+                                large = neigh[b]; small = neigh[a];
+                            }
+                            do_merge(large, small, F);
+                            /* major merger counted on the post-merge mass
+                             * (build_groups.c:669-670) */
+                            if (G.mass[large] < 5 * G.mass[small]
+                                && good_particle)
+                                ctr[11]++;
+                            if (to_group == small)
+                                to_group = large;
+                            for (int c = 0; c < neigrp; c++)
+                                if (neigh[c] == small)
+                                    neigh[c] = large;
+                        }
+            }
+
+            if (accgrp == -1) {
+                /* dedup again and retry accretion (build_groups.c:676-723) */
+                int m = 0;
+                for (int a = 0; a < neigrp; a++) {
+                    if (neigh[a] <= FILAMENT) continue;
+                    int dupl = 0;
+                    for (int b = 0; b < m; b++)
+                        if (neigh[b] == neigh[a]) { dupl = 1; break; }
+                    if (!dupl)
+                        neigh[m++] = neigh[a];
+                }
+                neigrp = m;
+                best_ratio = 1e20;
+                accgrp = -1;
+                for (int a = 0; a < neigrp; a++) {
+                    double d2, r2;
+                    cond_accretion(ix, iy, iz, this_z, F, neigh[a], &d2, &r2);
+                    double ratio = d2 / r2;
+                    if (ratio < best_ratio) {
+                        best_ratio = ratio;
+                        accgrp = a;
+                    }
+                }
+                if (best_ratio < 1.0) {
+                    if (good_particle) { ctr[7]++; ctr[9]++; }
+                    accrflag = 1;
+                    to_group = neigh[accgrp];
+                    do_accretion(to_group, ix, iy, iz, this_z, F);
+                } else {
+                    if (good_particle) ctr[12]++;
+                    G.mass[FILAMENT]++;
+                    group_of_particle_arr[this_z] = FILAMENT;
+                }
+            }
+        } else {
+            /* ---------------- case: filament ---------------- */
+            if (good_particle) ctr[12]++;
+            G.mass[FILAMENT]++;
+            group_of_particle_arr[this_z] = FILAMENT;
+        }
+
+        /* filament re-accretion around the accreting halo
+         * (build_groups.c:747-781): first test all, then accrete marked */
+        if (accrflag && nf && !skip) {
+            char take[6];
+            for (int f = 0; f < nf; f++) {
+                double d2, r2;
+                cond_accretion(fil_xyz[f][0], fil_xyz[f][1], fil_xyz[f][2],
+                               fil_idx[f], F, to_group, &d2, &r2);
+                take[f] = (char)(d2 < r2);
+            }
+            for (int f = 0; f < nf; f++)
+                if (take[f]) {
+                    do_accretion(to_group, fil_xyz[f][0], fil_xyz[f][1],
+                                 fil_xyz[f][2], fil_idx[f], F);
+                    G.mass[FILAMENT]--;
+                    if (fil_xyz[f][0] >= in->safe[0] &&
+                        fil_xyz[f][0] < Lx - in->safe[0] &&
+                        fil_xyz[f][1] >= in->safe[1] &&
+                        fil_xyz[f][1] < Ly - in->safe[1] &&
+                        fil_xyz[f][2] >= in->safe[2] &&
+                        fil_xyz[f][2] < Lz - in->safe[2]) {
+                        ctr[7]++;
+                        ctr[13]++;
+                        ctr[12]--;
+                    }
+                }
+        }
+
+        /* output captures (build_groups.c:888-920) */
+        while (iout < in->nout &&
+               (this_z == in->n - 1 || F < in->outF[iout])) {
+            capture_catalog(iout, cap);
+            iout++;
+        }
+    }
+
+    /* flush any output never reached (no particle below its F) */
+    while (iout < in->nout) {
+        capture_catalog(iout, cap);
+        iout++;
+    }
+
+    /* good-halo counter */
+    for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++)
+        if (G.alive[g] && G.good[g])
+            ctr[14]++;
+
+    /* export final group state */
+    int32_t ng = G.ngroups;
+    *out->ngroups = ng;
+    memcpy(out->mass, G.mass, (ng + 1) * sizeof(int32_t));
+    memcpy(out->name, G.name, (ng + 1) * sizeof(uint64_t));
+    memcpy(out->halo_app, G.halo_app, (ng + 1) * sizeof(int32_t));
+    memcpy(out->ll, G.ll, (ng + 1) * sizeof(int32_t));
+    memcpy(out->merged_with, G.merged_with, (ng + 1) * sizeof(int32_t));
+    memcpy(out->mass_at_merger, G.mass_at_merger, (ng + 1) * sizeof(int32_t));
+    memcpy(out->t_appear, G.t_appear, (ng + 1) * sizeof(float));
+    memcpy(out->t_peak, G.t_peak, (ng + 1) * sizeof(float));
+    memcpy(out->t_merge, G.t_merge, (ng + 1) * sizeof(float));
+    memcpy(out->good, G.good, (ng + 1) * sizeof(uint8_t));
+    memcpy(out->alive, G.alive, (ng + 1) * sizeof(uint8_t));
+
+    free(G.mass); free(G.q); free(G.gv1);
+    free(G.gv2); free(G.gv31); free(G.gv32);
+    free(G.name); free(G.t_peak); free(G.t_appear); free(G.t_merge);
+    free(G.mass_at_merger); free(G.merged_with);
+    free(G.halo_app); free(G.ll); free(G.good); free(G.alive);
+    free(G.parent);
+    return 0;
+}

@@ -1,0 +1,101 @@
+"""End-to-end pipeline driver: parameter file -> catalogs.
+
+Equivalent of the reference main() standard run (pinocchio.c:220-248):
+  initialization -> fmax (collapse times + displacements) -> fragmentation
+  -> catalogs / mass functions / histories.
+
+Usage:
+    python -m pinocchio_tpu.run <parameter_file> [--norad] [--outdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+from .config import Params, read_parameter_file
+from .cosmology import Cosmology
+
+
+def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
+                 write_outputs: bool = True):
+    from .fmax import run_fmax, fmax_pdf
+    from .fragment.driver import run_fragmentation
+    from .io import catalogs as io_cat
+    import numpy as np
+
+    t_total = time.perf_counter()
+    timings = {}
+
+    t0 = time.perf_counter()
+    cosmo = Cosmology(params)
+    timings["init"] = time.perf_counter() - t0
+    if verbose:
+        print(f"[init] cosmology ready in {timings['init']:.2f}s "
+              f"(sigma8={params.Sigma8:.4f})")
+    if write_outputs:
+        cosmo.write_cosmology_file(outdir)
+
+    fmax_res = run_fmax(params, cosmo, verbose=verbose)
+    timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
+
+    if write_outputs:
+        fmax_pdf(np.asarray(fmax_res.products.Fmax),
+                 os.path.join(outdir,
+                              f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
+
+    frag_res = run_fragmentation(params, cosmo, fmax_res, verbose=verbose)
+    timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
+
+    written = []
+    if write_outputs:
+        t0 = time.perf_counter()
+        largest = io_cat.largest_halo_mass(params, cosmo)
+        for snap in frag_res.catalogs:
+            written.append(io_cat.write_catalog(params, snap, outdir))
+            written.append(io_cat.compute_mf(params, cosmo, snap, outdir,
+                                             largest=largest))
+        if not params.DoNotWriteHistories:
+            written.append(io_cat.write_histories(params, frag_res.groups,
+                                                  outdir))
+        timings["io"] = time.perf_counter() - t0
+
+    timings["total"] = time.perf_counter() - t_total
+    if verbose:
+        print(f"[done] total {timings['total']:.2f}s  "
+              f"(fmax loop {timings.get('fmax_fmax_loop', 0):.2f}s, "
+              f"sweep {timings.get('frag_sweep', 0):.2f}s)")
+    return dict(cosmo=cosmo, fmax=fmax_res, frag=frag_res,
+                timings=timings, files=written)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("parameter_file")
+    ap.add_argument("--norad", action="store_true",
+                    help="no radiation in the background (reference "
+                    "-DNORADIATION)")
+    ap.add_argument("--outdir", default=".")
+    ap.add_argument("--grid", type=int, default=None,
+                    help="override GridSize")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform (cpu / axon)")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    overrides = {}
+    if args.norad:
+        overrides["norad"] = True
+    params = read_parameter_file(args.parameter_file, **overrides)
+    if args.grid:
+        params.GridSize = args.grid
+    os.makedirs(args.outdir, exist_ok=True)
+    run_pipeline(params, outdir=args.outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,13 @@ def hmf_validation_cosmology(hmf_validation_params):
 
 
 @pytest.fixture(scope="session")
+def fmax_result(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.fmax import run_fmax
+    return run_fmax(hmf_validation_params, hmf_validation_cosmology,
+                    verbose=False)
+
+
+@pytest.fixture(scope="session")
 def reference_cosmology_table():
     """Columns of HMF_Validation/pinocchio.test.cosmology.out (oracle)."""
     path = os.path.join(REFERENCE, "HMF_Validation",

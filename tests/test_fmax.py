@@ -9,13 +9,6 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def fmax_result(hmf_validation_params, hmf_validation_cosmology):
-    from pinocchio_tpu.fmax import run_fmax
-    return run_fmax(hmf_validation_params, hmf_validation_cosmology,
-                    verbose=False)
-
-
 def test_smoothing_ladder(hmf_validation_params, hmf_validation_cosmology):
     from pinocchio_tpu.fmax import Smoothing
     sm = Smoothing.build(hmf_validation_params, hmf_validation_cosmology)

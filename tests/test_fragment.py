@@ -1,0 +1,124 @@
+"""Fragmentation + outputs vs the reference's shipped HMF_Validation run.
+
+Statistical oracles (different realization, same box/P(k)/decision rules):
+event counters within ~2%, halo counts per output within ~3%, HMF bins with
+good statistics within ~15%, histories tree/branch counts within ~2%.
+Reference numbers from HMF_Validation/log_RUN.txt and the shipped catalogs.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def frag_result(hmf_validation_params, hmf_validation_cosmology,
+                fmax_result):
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    return run_fragmentation(hmf_validation_params,
+                             hmf_validation_cosmology, fmax_result,
+                             verbose=False)
+
+
+# reference log_RUN.txt tail
+REF = dict(peaks=114993, good_halos=75499, accretions=615432,
+           mergers=39494, filaments=499961, in_halos=730425)
+REF_NHALOS = {2.0: 5248, 1.0: 8038, 0.5: 8709, 0.0: 8707}
+
+
+def test_event_counters(frag_result):
+    c = frag_result.counters
+    assert abs(int(c[0]) / REF["peaks"] - 1) < 0.02
+    assert abs(int(c[14]) / REF["good_halos"] - 1) < 0.02
+    assert abs(int(c[7]) / REF["accretions"] - 1) < 0.03
+    assert abs(int(c[10]) / REF["mergers"] - 1) < 0.03
+    assert abs(int(c[12]) / REF["filaments"] - 1) < 0.02
+
+
+def test_halo_counts_per_output(frag_result, hmf_validation_params):
+    mh = hmf_validation_params.MinHaloMass
+    for snap in frag_result.catalogs:
+        ngood = int((snap.mass >= mh).sum())
+        ref = REF_NHALOS[snap.z]
+        assert abs(ngood / ref - 1) < 0.03, (snap.z, ngood, ref)
+
+
+def test_mass_conservation(frag_result):
+    """particles in halos + filaments = stored particles"""
+    g = frag_result.groups
+    in_halos = int(g.mass[2:][g.alive[2:] > 0].sum())
+    filaments = int(g.mass[1])
+    assert in_halos + filaments == frag_result.nstored
+    assert abs(in_halos / REF["in_halos"] - 1) < 0.03
+
+
+def test_mf_vs_reference(frag_result, hmf_validation_params,
+                         hmf_validation_cosmology, tmp_path):
+    from pinocchio_tpu.io import catalogs as io_cat
+    p = hmf_validation_params
+    snap = [s for s in frag_result.catalogs if s.z == 0.0][0]
+    path = io_cat.compute_mf(p, hmf_validation_cosmology, snap,
+                             str(tmp_path))
+    mine = np.loadtxt(path)
+    ref = np.loadtxt("/root/reference/HMF_Validation/"
+                     "pinocchio.0.0000.test.mf.out")
+    n = min(len(mine), len(ref))
+    cm, cr = mine[:n, 4], ref[:n, 4]
+    good = (cm > 200) & (cr > 200)
+    assert good.sum() >= 5
+    rel = cm[good] / cr[good] - 1.0
+    assert np.abs(rel).max() < 0.15
+    # total number of halos within 3%
+    assert abs(cm.sum() / cr.sum() - 1.0) < 0.03
+
+
+def test_histories_structure(frag_result, hmf_validation_params, tmp_path):
+    from pinocchio_tpu.io.catalogs import build_histories
+    trees = build_histories(frag_result.groups,
+                            hmf_validation_params.MinHaloMass)
+    ntrees = len(trees)
+    nbranch = sum(len(t) for t in trees)
+    # reference: 8707 trees, 14776 branches
+    assert abs(ntrees / 8707 - 1) < 0.02
+    assert abs(nbranch / 14776 - 1) < 0.02
+    # structural invariants per tree
+    for rec in trees[:200]:
+        nb = len(rec)
+        assert rec[0]["nick"] == nb           # main halo nick = Nbranches
+        assert (rec["ll"] == np.arange(1, nb + 1)).all()
+        # merged-with nicknames are within the tree
+        mw = rec["mw"]
+        assert ((mw == -1) | ((mw >= 1) & (mw <= nb))).all()
+        # main halo never merged
+        assert rec[0]["zme"] == -1.0
+
+
+def test_catalog_roundtrip_binary(frag_result, hmf_validation_params,
+                                  tmp_path):
+    """Binary catalog must be parseable via the fortran-record layout that
+    ReadPinocchio5.py expects."""
+    from pinocchio_tpu.io import catalogs as io_cat
+    p = hmf_validation_params
+    snap = frag_result.catalogs[0]
+    import dataclasses
+    p2 = dataclasses.replace(p) if dataclasses.is_dataclass(p) else p
+    old = p.CatalogInAscii
+    p.CatalogInAscii = False
+    try:
+        path = io_cat.write_catalog(p, snap, str(tmp_path))
+    finally:
+        p.CatalogInAscii = old
+    with open(path, "rb") as fd:
+        m1 = np.fromfile(fd, "<i4", 1)[0]
+        hdr = np.fromfile(fd, "<i4", 2)
+        m2 = np.fromfile(fd, "<i4", 1)[0]
+        assert m1 == m2 == 8
+        assert hdr[1] == io_cat.CATALOG_DTYPE.itemsize
+        m1 = np.fromfile(fd, "<i4", 1)[0]
+        ngood = np.fromfile(fd, "<i4", 1)[0]
+        np.fromfile(fd, "<i4", 1)
+        m1 = np.fromfile(fd, "<i4", 1)[0]
+        rec = np.fromfile(fd, io_cat.CATALOG_DTYPE, ngood)
+        m2 = np.fromfile(fd, "<i4", 1)[0]
+        assert m1 == m2 == ngood * io_cat.CATALOG_DTYPE.itemsize
+    assert (rec["n"] == snap.mass).all()
+    assert (rec["name"] == snap.name).all()
