@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List
 
 import jax
@@ -86,6 +87,53 @@ class FmaxResult:
     timings: Dict[str, float] = field(default_factory=dict)
 
 
+@partial(jax.jit, static_argnames=("N", "nsmooth"))
+def fmax_loop(kdensity, radii_grid, logD_tab, loga_tab, N: int,
+              nsmooth: int):
+    """The full smoothing-radius cycle (fmax.c:66-150) as ONE device
+    program: nsmooth x (6 derivative FFTs + collapse update), unrolled.
+
+    A single dispatch + sync per run matters doubly here: XLA can overlap
+    and fuse across radii, and the host<->device round trip (expensive on a
+    tunneled TPU) is paid once instead of per radius.
+
+    Returns (Fmax, Rmax, d_avg[nsmooth], d_var[nsmooth]) and the R=0
+    Hessian stack for the LPT stage.
+    """
+    Fmax = jnp.full((N, N, N), -10.0, jnp.float32)
+    Rmax = jnp.full((N, N, N), -1, jnp.int32)
+    avgs = []
+    variances = []
+    sd = None
+    for ism in range(nsmooth):
+        sd = derivatives.second_derivatives.__wrapped__(
+            kdensity, radii_grid[ism], N)
+        Fmax, Rmax, d_avg, d_var = collapse.collapse_update.__wrapped__(
+            sd, Fmax, Rmax, jnp.int32(ism), logD_tab, loga_tab)
+        avgs.append(d_avg)
+        variances.append(d_var)
+    return Fmax, Rmax, jnp.stack(avgs), jnp.stack(variances), sd
+
+
+@partial(jax.jit, static_argnames=("N", "order"))
+def displacement_stage(kdensity, sd, growths, N: int, order: int):
+    """All LPT sources + displacement stacks as one device program
+    (compute_displacements, fmax.c:292-367)."""
+    D1, D2, D31, D32 = growths
+    out = {}
+    if order >= 2:
+        kvec2, kvec31, kvec32 = lpt.lpt_sources.__wrapped__(sd, N)
+        out["v2"] = derivatives.first_derivatives.__wrapped__(
+            kvec2, D2, N)
+        if order >= 3:
+            out["v31"] = derivatives.first_derivatives.__wrapped__(
+                kvec31, D31, N)
+            out["v32"] = derivatives.first_derivatives.__wrapped__(
+                kvec32, D32, N)
+    out["v1"] = derivatives.first_derivatives.__wrapped__(kdensity, D1, N)
+    return out
+
+
 def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
              verbose: bool = True) -> FmaxResult:
     grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
@@ -103,44 +151,31 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
     logD_tab, loga_tab = collapse.make_inverse_growth_table(cosmo)
 
-    Fmax = jnp.full((N, N, N), -10.0, jnp.float32)
-    Rmax = jnp.full((N, N, N), -1, jnp.int32)
-
-    # ---- cycle on smoothing radii (fmax.c:66-150) ----
+    # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
-    sd = None
-    for ism in range(sm.n):
-        R_grid = jnp.float32(sm.radii[ism] / grid.CellSize)
-        sd = derivatives.second_derivatives(kdensity, R_grid, N)
-        Fmax, Rmax, d_avg, d_var = collapse.collapse_update(
-            sd, Fmax, Rmax, jnp.int32(ism), logD_tab, loga_tab)
-        sm.true_variance[ism] = float(d_var)
-        if verbose:
+    radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
+    Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
+        kdensity, radii_grid, logD_tab, loga_tab, N, sm.n)
+    sm.true_variance[:] = np.asarray(d_vars)   # d2h sync
+    timings["fmax_loop"] = time.perf_counter() - t0
+    if verbose:
+        for ism in range(sm.n):
             print(f"  smoothing {ism + 1}/{sm.n}: R={sm.radii[ism]:9.5f} "
                   f"expected sigma {math.sqrt(sm.variance[ism]):7.4f} "
-                  f"computed {math.sqrt(max(float(d_var), 0.0)):7.4f}")
-    Fmax.block_until_ready()
-    timings["fmax_loop"] = time.perf_counter() - t0
+                  f"computed "
+                  f"{math.sqrt(max(sm.true_variance[ism], 0.0)):7.4f}")
 
     # ---- displacements at R=0 (fmax.c:152-169, LPT.c) ----
     # the last iteration left the unsmoothed Hessian in sd
     t0 = time.perf_counter()
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
-    growths = (float(cosmo.GrowingMode(z0)),
-               float(cosmo.GrowingMode_2LPT(z0)),
-               float(cosmo.GrowingMode_3LPT_1(z0)),
-               float(cosmo.GrowingMode_3LPT_2(z0)))
-    vel: Dict[str, jax.Array] = {}
-    if params.lpt_order >= 2:
-        kvec2, kvec31, kvec32 = lpt.lpt_sources(sd, N)
-        if params.lpt_order < 3:
-            kvec31 = kvec32 = None
-        vel = lpt.displacement_fields(kdensity, kvec2, kvec31, kvec32,
-                                      growths, N)
-    else:
-        vel = lpt.displacement_fields(kdensity, None, None, None,
-                                      growths, N)
+    growths = (jnp.float32(cosmo.GrowingMode(z0)),
+               jnp.float32(cosmo.GrowingMode_2LPT(z0)),
+               jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
+               jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
+    vel: Dict[str, jax.Array] = displacement_stage(kdensity, sd, growths,
+                                                   N, params.lpt_order)
     for v in vel.values():
         v.block_until_ready()
     timings["lpt"] = time.perf_counter() - t0

@@ -58,14 +58,13 @@ def _hermitian_maps(N: int):
     return dep, np.broadcast_to(mix, (N, N)), np.broadcast_to(miy, (N, N))
 
 
-def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
-                      fixed: bool = False, paired: bool = False):
-    """delta(k) on the rfftn grid [N, N, N//2+1], complex64."""
-    N = grid.N
-    Nh = N // 2 + 1
-    logk_tab, logpk_tab = pk_table(cosmo, grid)
+from functools import partial
 
-    key = jax.random.PRNGKey(seed)
+
+@partial(jax.jit, static_argnames=("N", "fixed", "paired"))
+def _kdensity_jit(key, logk_tab, logpk_tab, logkm, alive, dep, mix, miy,
+                  fac, N: int, fixed: bool, paired: bool):
+    Nh = N // 2 + 1
     kp, ka = jax.random.split(key)
     # phases and amplitude draws for every mode; counter-based => identical
     # for any device mesh (this is the reference's seed-plane invariance)
@@ -76,10 +75,6 @@ def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
 
     # Hermitian symmetry on the kz=0 plane: dependent modes reuse the
     # mirrored mode's draws and conjugate
-    dep, mix, miy = _hermitian_maps(N)
-    dep = jnp.asarray(dep)
-    mix = jnp.asarray(mix)
-    miy = jnp.asarray(miy)
     ph0 = jnp.where(dep, phase[mix, miy, 0], phase[:, :, 0])
     am0 = jnp.where(dep, ampl[mix, miy, 0], ampl[:, :, 0])
     sign0 = jnp.where(dep, -1.0, 1.0).astype(jnp.float32)
@@ -87,28 +82,42 @@ def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
     ampl = ampl.at[:, :, 0].set(am0)
     sign = jnp.ones((N, N, Nh), jnp.float32).at[:, :, 0].set(sign0)
 
-    # physical |k| per mode and P(k) lookup
-    m2 = mode_radius_sq(N)
-    kf = 2.0 * math.pi / grid.BoxSize
-    kmag = kf * np.sqrt(m2)
-    with np.errstate(divide="ignore"):
-        logkm = np.log10(np.where(kmag > 0, kmag, 1.0)).astype(np.float32)
-    pofk = 10.0 ** jnp.interp(jnp.asarray(logkm), logk_tab, logpk_tab)
-
+    pofk = 10.0 ** jnp.interp(logkm, logk_tab, logpk_tab)
     if not fixed:
         pofk = pofk * (-jnp.log(ampl))
     if paired:
         phase = phase + np.pi
 
-    # empty modes: k=0, any Nyquist component, spherical cutoff beyond N/2
+    amp = jnp.where(alive, fac * jnp.sqrt(pofk), 0.0)
+    return (amp * jnp.cos(phase)
+            + 1j * (sign * amp * jnp.sin(phase))).astype(jnp.complex64)
+
+
+def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
+                      fixed: bool = False, paired: bool = False):
+    """delta(k) on the rfftn grid [N, N, N//2+1], complex64."""
+    N = grid.N
+    Nh = N // 2 + 1
+    logk_tab, logpk_tab = pk_table(cosmo, grid)
+    key = jax.random.PRNGKey(seed)
+
+    dep, mix, miy = _hermitian_maps(N)
+
+    # physical |k| per mode (host, fp64) and empty-mode mask:
+    # k=0, any Nyquist component, spherical cutoff beyond N/2
+    m2 = mode_radius_sq(N)
+    kf = 2.0 * math.pi / grid.BoxSize
+    kmag = kf * np.sqrt(m2)
+    with np.errstate(divide="ignore"):
+        logkm = np.log10(np.where(kmag > 0, kmag, 1.0)).astype(np.float32)
     mi = signed_modes(N)
     nyq_x = (np.abs(mi) == N // 2)[:, None, None]
     nyq_y = (np.abs(mi) == N // 2)[None, :, None]
     nyq_z = (np.arange(Nh) == N // 2)[None, None, :]
     alive = ~(nyq_x | nyq_y | nyq_z) & (m2 > 0) & (m2 <= (N // 2) ** 2)
-    alive = jnp.asarray(alive)
 
     fac = grid.BoxSize ** -1.5 * float(N) ** 3
-    amp = jnp.where(alive, fac * jnp.sqrt(pofk), 0.0)
-    return (amp * jnp.cos(phase)
-            + 1j * (sign * amp * jnp.sin(phase))).astype(jnp.complex64)
+    return _kdensity_jit(key, logk_tab, logpk_tab, jnp.asarray(logkm),
+                         jnp.asarray(alive), jnp.asarray(dep),
+                         jnp.asarray(mix), jnp.asarray(miy),
+                         jnp.float32(fac), N, bool(fixed), bool(paired))

@@ -26,6 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..backend import irfft3
 from ..grids import k_grid_units
 
 SECOND_DERIV_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
@@ -59,8 +60,7 @@ def second_derivatives(kdensity, R_grid, N: int):
     kvec = (kx, ky, kz)
     outs = []
     for ia, ib in SECOND_DERIV_PAIRS:
-        outs.append(jnp.fft.irfftn(base * (kvec[ia] * kvec[ib]),
-                                   s=(N, N, N)))
+        outs.append(irfft3(base * (kvec[ia] * kvec[ib]), N))
     return jnp.stack(outs)
 
 
@@ -77,12 +77,12 @@ def first_derivatives(kvector, growth, N: int):
     k2 = kx * kx + ky * ky + kz * kz
     inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
     base = kvector * (1j * growth) * inv_k2.astype(jnp.float32)
-    return jnp.stack([jnp.fft.irfftn(base * kx, s=(N, N, N)),
-                      jnp.fft.irfftn(base * ky, s=(N, N, N)),
-                      jnp.fft.irfftn(base * kz, s=(N, N, N))])
+    return jnp.stack([irfft3(base * kx, N),
+                      irfft3(base * ky, N),
+                      irfft3(base * kz, N)])
 
 
 @partial(jax.jit, static_argnames=("N",))
 def density_field(kdensity, N: int):
     """Real-space linear density contrast (c2r of delta(k))."""
-    return jnp.fft.irfftn(kdensity, s=(N, N, N))
+    return irfft3(kdensity, N)

@@ -21,6 +21,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..backend import irfft3, rfft3
 from ..grids import k_grid_units
 from .derivatives import first_derivatives
 
@@ -44,7 +45,7 @@ def lpt_sources(sd, N: int):
     # factor 2: nabla2(phi) here is half the theoretical one (LPT.c:89-91)
     src32 = 2.0 * (sd[_XX] + sd[_YY] + sd[_ZZ]) * src2
 
-    kvec2 = jnp.fft.rfftn(src2)
+    kvec2 = rfft3(src2)
 
     # second derivatives of the 2LPT potential (LPT.c:116-141)
     kx, ky, kz = k_grid_units(N)
@@ -55,12 +56,11 @@ def lpt_sources(sd, N: int):
     pairs = ((0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0),
              (0, 1, 2.0), (0, 2, 2.0), (1, 2, 2.0))
     for ider, (ia, ib, w) in enumerate(pairs):
-        phi2_ij = jnp.fft.irfftn(base2 * (kvecs[ia] * kvecs[ib]),
-                                 s=(N, N, N))
+        phi2_ij = irfft3(base2 * (kvecs[ia] * kvecs[ib]), N)
         src32 = src32 - 2.0 * w * phi2_ij * sd[ider]
 
-    kvec31 = jnp.fft.rfftn(src31)
-    kvec32 = jnp.fft.rfftn(src32)
+    kvec31 = rfft3(src31)
+    kvec32 = rfft3(src32)
     return kvec2, kvec31, kvec32
 
 

@@ -83,9 +83,8 @@ def main(argv=None):
                     help="jax platform (cpu / axon)")
     args = ap.parse_args(argv)
 
-    if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+    from .backend import setup
+    setup(platform=args.platform)
 
     overrides = {}
     if args.norad:
