@@ -60,13 +60,13 @@ def main():
     sm = Smoothing.build(params, cosmo)
     kden = generate_kdensity(grid, cosmo, params.RandomSeed)
     kden.block_until_ready()
-    logD_tab, loga_tab = collapse.make_inverse_growth_table(cosmo)
+    ig_tab, (ig_lo, ig_dx) = collapse.make_inverse_growth_table(cosmo)
 
     N = args.grid
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
 
     def collapse_phase(kden):
-        out = fmax_loop(kden, radii_grid, logD_tab, loga_tab, N, sm.n)
+        out = fmax_loop(kden, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
         # a device->host transfer is the only reliable sync on the
         # tunneled TPU backend (block_until_ready returns early there)
         np.asarray(out[3])

@@ -88,8 +88,8 @@ class FmaxResult:
 
 
 @partial(jax.jit, static_argnames=("N", "nsmooth"))
-def fmax_loop(kdensity, radii_grid, logD_tab, loga_tab, N: int,
-              nsmooth: int):
+def fmax_loop(kdensity, radii_grid, invgrow_tab, invgrow_lo, invgrow_dx,
+              N: int, nsmooth: int):
     """The full smoothing-radius cycle (fmax.c:66-150) as ONE device
     program: nsmooth x (6 derivative FFTs + collapse update), unrolled.
 
@@ -109,7 +109,8 @@ def fmax_loop(kdensity, radii_grid, logD_tab, loga_tab, N: int,
         sd = derivatives.second_derivatives.__wrapped__(
             kdensity, radii_grid[ism], N)
         Fmax, Rmax, d_avg, d_var = collapse.collapse_update.__wrapped__(
-            sd, Fmax, Rmax, jnp.int32(ism), logD_tab, loga_tab)
+            sd, Fmax, Rmax, jnp.int32(ism), invgrow_tab, invgrow_lo,
+            invgrow_dx)
         avgs.append(d_avg)
         variances.append(d_var)
     return Fmax, Rmax, jnp.stack(avgs), jnp.stack(variances), sd
@@ -149,13 +150,13 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
         kdensity.block_until_ready()
     timings["dens"] = time.perf_counter() - t0
 
-    logD_tab, loga_tab = collapse.make_inverse_growth_table(cosmo)
+    ig_tab, (ig_lo, ig_dx) = collapse.make_inverse_growth_table(cosmo)
 
     # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
     Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
-        kdensity, radii_grid, logD_tab, loga_tab, N, sm.n)
+        kdensity, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
     sm.true_variance[:] = np.asarray(d_vars)   # d2h sync
     timings["fmax_loop"] = time.perf_counter() - t0
     if verbose:

@@ -68,6 +68,29 @@ class _CaptureBuffers(ctypes.Structure):
                 ("count", _i32p)]
 
 
+class _PlcInput(ctypes.Structure):
+    _fields_ = [
+        ("enabled", ctypes.c_int32),
+        ("Fstart", ctypes.c_double), ("Fstop", ctypes.c_double),
+        ("center", ctypes.c_double * 3), ("zvers", ctypes.c_double * 3),
+        ("ipd", ctypes.c_double), ("aperture", ctypes.c_double),
+        ("brent_err", ctypes.c_double),
+        ("nrepl", ctypes.c_int32),
+        ("repl_ijk", _i32p), ("repl_F1", _f64p), ("repl_F2", _f64p),
+        ("tab_rF", _f64p),
+        ("nzbins", ctypes.c_int32),
+        ("delta_z", ctypes.c_double), ("z_last", ctypes.c_double),
+        ("cap", ctypes.c_int64),
+    ]
+
+
+class _PlcOutput(ctypes.Structure):
+    _fields_ = [("name", _u64p), ("zred", _f32p), ("mass", _i32p),
+                ("x", _f32p), ("v", _f32p), ("nz", _f64p),
+                ("count", ctypes.POINTER(ctypes.c_int64)),
+                ("overflow", _i32p)]
+
+
 class _SweepOutput(ctypes.Structure):
     _fields_ = [("mass", _i32p), ("name", _u64p),
                 ("halo_app", _i32p), ("ll", _i32p),
@@ -119,9 +142,11 @@ def growth_tables(params: Params, cosmo: Cosmology, n: int = 8192,
     dv2 = fac * cosmo.fomega_2LPT(z, k)
     dv31 = fac * cosmo.fomega_3LPT_1(z, k)
     dv32 = fac * cosmo.fomega_3LPT_2(z, k)
+    # comoving distance in grid units, for the PLC crossing condition
+    rF = cosmo.ComovingDistance(z) / params.InterPartDist
     dlog = logF[1] - logF[0]
     arrs = dict(w1=w1, w2=w2, w31=w31, w32=w32,
-                dv1=dv1, dv2=dv2, dv31=dv31, dv32=dv32, D1=D1)
+                dv1=dv1, dv2=dv2, dv31=dv31, dv32=dv32, D1=D1, rF=rF)
     return lo, dlog, {k_: np.ascontiguousarray(v, np.float64)
                       for k_, v in arrs.items()}
 
@@ -163,17 +188,29 @@ class GroupState:
 
 
 @dataclass
+class PlcResult:
+    name: np.ndarray
+    z: np.ndarray
+    mass: np.ndarray
+    x: np.ndarray            # [n,3] true Mpc from the cone vertex
+    v: np.ndarray            # [n,3] km/s
+    nz: np.ndarray
+    overflow: bool
+
+
+@dataclass
 class FragmentResult:
     catalogs: List[CatalogSnapshot]
     groups: GroupState
     counters: np.ndarray
     npeaks: int
     nstored: int
+    plc: Optional[PlcResult] = None
     timings: Dict[str, float] = field(default_factory=dict)
 
 
 def run_fragmentation(params: Params, cosmo: Cosmology,
-                      fmax_result: FmaxResult,
+                      fmax_result: FmaxResult, plc_geom=None,
                       verbose: bool = True) -> FragmentResult:
     t_all = time.perf_counter()
     timings = {}
@@ -286,14 +323,55 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                       counters=p(counters, _u64p),
                       group_of_particle=p(gop, _i32p))
 
+    # ---- past light cone buffers ----
+    plc_on = plc_geom is not None and plc_geom.enabled
+    if plc_on:
+        plc_cap = 4 * plc_geom.Nmax
+        plc_name = np.zeros(plc_cap, np.uint64)
+        plc_z = np.zeros(plc_cap, np.float32)
+        plc_mass = np.zeros(plc_cap, np.int32)
+        plc_x = np.zeros(plc_cap * 3, np.float32)
+        plc_v = np.zeros(plc_cap * 3, np.float32)
+        plc_nz = np.zeros(max(plc_geom.nzbins, 1), np.float64)
+        plc_count = np.zeros(1, np.int64)
+        plc_over = np.zeros(1, np.int32)
+        repl_ijk = np.ascontiguousarray(plc_geom.repls_ijk.ravel(),
+                                        np.int32)
+        repl_F1 = np.ascontiguousarray(plc_geom.repls_F1, np.float64)
+        repl_F2 = np.ascontiguousarray(plc_geom.repls_F2, np.float64)
+        pi = _PlcInput(
+            enabled=1, Fstart=plc_geom.Fstart, Fstop=plc_geom.Fstop,
+            center=(ctypes.c_double * 3)(*plc_geom.center),
+            zvers=(ctypes.c_double * 3)(*plc_geom.zvers),
+            ipd=params.InterPartDist, aperture=params.PLCAperture,
+            brent_err=1e-2 * params.InterPartDist,
+            nrepl=len(repl_F1),
+            repl_ijk=p(repl_ijk, _i32p), repl_F1=p(repl_F1, _f64p),
+            repl_F2=p(repl_F2, _f64p), tab_rF=p(tabs["rF"], _f64p),
+            nzbins=plc_geom.nzbins, delta_z=plc_geom.delta_z,
+            z_last=min(params.StartingzForPLC, params.LastzForPLC),
+            cap=plc_cap)
+        po = _PlcOutput(name=p(plc_name, _u64p), zred=p(plc_z, _f32p),
+                        mass=p(plc_mass, _i32p), x=p(plc_x, _f32p),
+                        v=p(plc_v, _f32p), nz=p(plc_nz, _f64p),
+                        count=plc_count.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int64)),
+                        overflow=p(plc_over, _i32p))
+        pi_ref, po_ref = ctypes.byref(pi), ctypes.byref(po)
+    else:
+        pi_ref = po_ref = None
+
     lib = native.load("groupsweep")
     lib.sweep.restype = ctypes.c_int
     lib.sweep.argtypes = [ctypes.POINTER(_SweepInput),
                           ctypes.POINTER(_CaptureBuffers),
-                          ctypes.POINTER(_SweepOutput)]
+                          ctypes.POINTER(_SweepOutput),
+                          ctypes.POINTER(_PlcInput),
+                          ctypes.POINTER(_PlcOutput)]
 
     t0 = time.perf_counter()
-    rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so))
+    rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so),
+                   pi_ref, po_ref)
     timings["sweep"] = time.perf_counter() - t0
     if rc != 0:
         raise RuntimeError(f"group sweep failed with code {rc} "
@@ -319,6 +397,19 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         t_appear=g_tap[:ng + 1], t_peak=g_tpk[:ng + 1],
         t_merge=g_tmg[:ng + 1], good=g_good[:ng + 1], alive=g_alive[:ng + 1])
 
+    plc_result = None
+    if plc_on:
+        nplc = int(plc_count[0])
+        plc_result = PlcResult(
+            name=plc_name[:nplc].copy(), z=plc_z[:nplc].copy(),
+            mass=plc_mass[:nplc].copy(),
+            x=plc_x[:3 * nplc].reshape(-1, 3).copy(),
+            v=plc_v[:3 * nplc].reshape(-1, 3).copy(),
+            nz=plc_nz.copy(), overflow=bool(plc_over[0]))
+        if verbose:
+            print(f"  PLC: stored {nplc} halo crossings"
+                  + (" (OVERFLOW)" if plc_result.overflow else ""))
+
     timings["total"] = time.perf_counter() - t_all
     if verbose:
         print(f"  sweep: {timings['sweep']:.2f}s; peaks {counters[0]}, "
@@ -326,4 +417,4 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
               f"mergers {counters[10]}, filament particles {counters[12]}")
     return FragmentResult(catalogs=catalogs, groups=groups,
                           counters=counters, npeaks=npeaks, nstored=n,
-                          timings=timings)
+                          plc=plc_result, timings=timings)

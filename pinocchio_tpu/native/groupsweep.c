@@ -22,7 +22,12 @@
  * Compiled as a plain shared library; driven through ctypes.
  */
 
+#define _USE_MATH_DEFINES
 #include <math.h>
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
@@ -86,6 +91,7 @@ typedef struct {
     int32_t *halo_app, *ll;
     uint8_t *good, *alive;
     int32_t *parent;        /* union-find over group ids */
+    float *Flast;           /* last F at which the PLC condition was seen */
     int32_t ngroups;
 } group_state;
 
@@ -96,6 +102,37 @@ typedef struct {
     float *q, *x, *v;       /* [cap*3] */
     int32_t *count;         /* [nout] rows per output */
 } capture_buffers;
+
+/* past-light-cone configuration (borrowed pointers; enabled=0 -> off)
+ * geometry from plc.py: replications + F windows (set_plc,
+ * initialization.c:543-776) */
+typedef struct {
+    int32_t enabled;
+    double Fstart, Fstop;
+    double center[3];          /* grid units */
+    double zvers[3];
+    double ipd;                /* InterPartDist, Mpc per grid unit */
+    double aperture;           /* degrees */
+    double brent_err;
+    int32_t nrepl;
+    const int32_t *repl_ijk;   /* [nrepl*3] */
+    const double *repl_F1;     /* [nrepl] */
+    const double *repl_F2;
+    const double *tab_rF;      /* comoving distance (grid units) vs log10F */
+    int32_t nzbins;
+    double delta_z, z_last;
+    int64_t cap;               /* capacity of the output halo buffers */
+} plc_input;
+
+typedef struct {
+    uint64_t *name;
+    float *zred;
+    int32_t *mass;
+    float *x, *v;              /* [cap*3], x in true Mpc */
+    double *nz;                /* [nzbins] */
+    int64_t *count;
+    int32_t *overflow;
+} plc_output;
 
 /* final per-group output (provided by Python, capacity maxg) */
 typedef struct {
@@ -112,6 +149,8 @@ typedef struct {
 /* ------------------------------------------------------------------ */
 
 static const sweep_input *I;
+static const plc_input *PLC;
+static const plc_output *PLCOUT;
 static group_state G;
 
 static inline double tab_interp(const double *tab, double F)
@@ -436,13 +475,164 @@ static void capture_catalog(int iout, const capture_buffers *cap)
 }
 
 /* ------------------------------------------------------------------ */
+/* past light cone: on-the-fly crossing detection                     */
+/* (condition_PLC / store_PLC / find_brent, build_groups.c:1730-1877) */
+/* ------------------------------------------------------------------ */
+
+/* signed distance of group g (displaced to time F, ORDER_FOR_CATALOG,
+ * PBC wrap off) from the light cone, for replication ir: positive means
+ * outside the cone shell */
+static double cond_plc(int32_t g, double F, int ir)
+{
+    weights_t w = get_weights(F);
+    double s = 0.0;
+    for (int i = 0; i < 3; i++) {
+        double d = q2x_group(i, g, &w, ORDER_FOR_CATALOG, 0)
+            + (double)I->stabl[i]
+            - (PLC->center[i]
+               - (double)I->G[i] * (double)PLC->repl_ijk[3 * ir + i]);
+        s += d * d;
+    }
+    return sqrt(s) - tab_interp(PLC->tab_rF, F);
+}
+
+/* bracketed root of cond_plc in [F_out, F_in] with cond(F_out) > 0 >
+ * cond(F_in); bisection to |cond| < brent_err like find_brent */
+static double solve_plc_crossing(int32_t g, int ir, double F_out,
+                                 double F_in)
+{
+    double lo = F_out, hi = F_in;   /* cond(lo) > 0, cond(hi) < 0 */
+    for (int it = 0; it < 100; it++) {
+        double mid = 0.5 * (lo + hi);
+        double c = cond_plc(g, mid, ir);
+        if (fabs(c) < PLC->brent_err)
+            return mid;
+        if (c > 0.0)
+            lo = mid;
+        else
+            hi = mid;
+    }
+    return 0.5 * (lo + hi);
+}
+
+static void store_plc(int32_t g, double F, int ir)
+{
+    if (*PLCOUT->count >= PLC->cap) {
+        *PLCOUT->overflow = 1;
+        return;
+    }
+    weights_t w = get_weights(F);
+    double dv1 = tab_interp(I->tab_dv1, F);
+    double dv2 = I->lpt_order >= 2 ? tab_interp(I->tab_dv2, F) : 0.0;
+    double dv31 = I->lpt_order >= 3 ? tab_interp(I->tab_dv31, F) : 0.0;
+    double dv32 = I->lpt_order >= 3 ? tab_interp(I->tab_dv32, F) : 0.0;
+
+    double x[3], vv[3];
+    for (int i = 0; i < 3; i++) {
+        x[i] = PLC->ipd *
+            (q2x_group(i, g, &w, ORDER_FOR_CATALOG, 0)
+             + (double)I->stabl[i]
+             - (PLC->center[i]
+                - (double)I->G[i] * (double)PLC->repl_ijk[3 * ir + i]));
+        vv[i] = G.gv1[3 * g + i] * dv1 * w.w1;
+        if (I->lpt_order >= 2)
+            vv[i] += G.gv2[3 * g + i] * dv2 * w.w2;
+        if (I->lpt_order >= 3)
+            vv[i] += G.gv31[3 * g + i] * dv31 * w.w31
+                + G.gv32[3 * g + i] * dv32 * w.w32;
+    }
+    double rho = sqrt(x[0] * x[0] + x[1] * x[1] + x[2] * x[2]);
+    double angle_deg = 90.0;
+    if (rho > 0.0) {
+        double ca = (x[0] * PLC->zvers[0] + x[1] * PLC->zvers[1]
+                     + x[2] * PLC->zvers[2]) / rho;
+        if (ca > 1.0) ca = 1.0;
+        if (ca < -1.0) ca = -1.0;
+        angle_deg = acos(ca) * 180.0 / M_PI;
+    }
+    /* aperture cut: 90 - theta < aperture (store_PLC,
+     * build_groups.c:1795) */
+    if (angle_deg >= PLC->aperture)
+        return;
+
+    int64_t row = *PLCOUT->count;
+    PLCOUT->name[row] = G.name[g];
+    PLCOUT->zred[row] = (float)(F - 1.0);
+    PLCOUT->mass[row] = G.mass[g];
+    for (int i = 0; i < 3; i++) {
+        PLCOUT->x[3 * row + i] = (float)x[i];
+        PLCOUT->v[3 * row + i] = (float)vv[i];
+    }
+    int iz = (int)(((F - 1.0) - PLC->z_last) / PLC->delta_z);
+    if (iz >= PLC->nzbins)
+        iz = PLC->nzbins - 1;
+    if (iz < 0)
+        iz = 0;
+    PLCOUT->nz[iz] += 1.0;
+    *PLCOUT->count = row + 1;
+}
+
+/* per-particle check on the neighbour groups (build_groups.c:356-450) */
+static void plc_check_groups(const int32_t *neigh, int neigrp, double F)
+{
+    for (int a = 0; a < neigrp; a++) {
+        int32_t g = neigh[a];
+        if (g > FILAMENT && G.good[g] && G.mass[g] >= I->min_halo_mass) {
+            for (int ir = 0; ir < PLC->nrepl; ir++) {
+                if (F > PLC->repl_F1[ir]
+                    || (double)G.Flast[g] < PLC->repl_F2[ir])
+                    continue;
+                double bb = cond_plc(g, F, ir);
+                if (bb == 0.0) {
+                    store_plc(g, F, ir);
+                } else if (bb > 0.0) {
+                    double aa = cond_plc(g, (double)G.Flast[g], ir);
+                    if (aa < 0.0)
+                        store_plc(g, solve_plc_crossing(
+                                      g, ir, F, (double)G.Flast[g]), ir);
+                }
+            }
+        }
+        G.Flast[g] = (float)F;
+    }
+}
+
+/* final sweep over all groups at Fstop (build_groups.c:783-869) */
+static void plc_final_check(void)
+{
+    double F = PLC->Fstop;
+    for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++) {
+        if (!G.alive[g] || !G.good[g] || G.mass[g] < I->min_halo_mass)
+            continue;
+        for (int ir = 0; ir < PLC->nrepl; ir++) {
+            if ((double)G.Flast[g] <= PLC->repl_F2[ir])
+                continue;
+            double bb = cond_plc(g, F, ir);
+            if (bb == 0.0) {
+                store_plc(g, F, ir);
+            } else if (bb > 0.0) {
+                double aa = cond_plc(g, (double)G.Flast[g], ir);
+                if (aa < 0.0)
+                    store_plc(g, solve_plc_crossing(
+                                  g, ir, F, (double)G.Flast[g]), ir);
+            }
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
 /* the sweep itself                                                   */
 /* ------------------------------------------------------------------ */
 
 int sweep(const sweep_input *in, const capture_buffers *cap,
-          const sweep_output *out)
+          const sweep_output *out, const plc_input *plc_in,
+          const plc_output *plc_out)
 {
     I = in;
+    PLC = plc_in;
+    PLCOUT = plc_out;
+    const int plc_on = (plc_in != NULL && plc_in->enabled);
+    int plc_started = 0, plc_last_check_done = 0;
     const int32_t Lx = in->L[0], Ly = in->L[1], Lz = in->L[2];
     const int32_t maxg = in->maxg;
 
@@ -465,7 +655,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     G.good = calloc(maxg, sizeof(uint8_t));
     G.alive = calloc(maxg, sizeof(uint8_t));
     G.parent = calloc(maxg, sizeof(int32_t));
-    if (!G.mass || !G.q || !G.gv1 || !G.name || !G.parent)
+    G.Flast = calloc(maxg, sizeof(float));
+    if (!G.mass || !G.q || !G.gv1 || !G.name || !G.parent || !G.Flast)
         return -1;
     for (int32_t g = 0; g < maxg; g++) {
         G.parent[g] = g;
@@ -561,6 +752,18 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
 
             if (neigrp > 0 && good_particle)
                 ctr[neigrp]++;
+
+            /* past light cone: check neighbour groups for cone crossing
+             * since their last update (build_groups.c:356-450) */
+            if (plc_on) {
+                if (F < PLC->Fstart && F >= PLC->Fstop) {
+                    plc_started = 1;
+                    plc_check_groups(neigh, neigrp, F);
+                } else if (PLC->Fstart > 0.0 && F < PLC->Fstart) {
+                    for (int a = 0; a < neigrp; a++)
+                        G.Flast[neigh[a]] = (float)F;
+                }
+            }
         } else {
             peak_cond = 0;
         }
@@ -592,6 +795,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
             G.ll[g] = g;
             G.halo_app[g] = g;
             group_of_particle_arr[this_z] = g;
+            if (plc_on)
+                G.Flast[g] = (float)(F > PLC->Fstart ? PLC->Fstart : F);
             if (I->min_halo_mass == 1)
                 G.t_appear[g] = (float)F;
         } else if (neigrp == 1) {
@@ -730,6 +935,14 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
                 }
         }
 
+        /* PLC: final sweep on all halos once the cycle passes Fstop
+         * (build_groups.c:783-869) */
+        if (plc_on && PLC->Fstart > 0.0 && !plc_last_check_done &&
+            (this_z == in->n - 1 || F < PLC->Fstop)) {
+            plc_last_check_done = 1;
+            plc_final_check();
+        }
+
         /* output captures (build_groups.c:888-920) */
         while (iout < in->nout &&
                (this_z == in->n - 1 || F < in->outF[iout])) {
@@ -764,6 +977,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     memcpy(out->good, G.good, (ng + 1) * sizeof(uint8_t));
     memcpy(out->alive, G.alive, (ng + 1) * sizeof(uint8_t));
 
+    (void)plc_started;
+    free(G.Flast);
     free(G.mass); free(G.q); free(G.gv1);
     free(G.gv2); free(G.gv31); free(G.gv32);
     free(G.name); free(G.t_peak); free(G.t_appear); free(G.t_merge);

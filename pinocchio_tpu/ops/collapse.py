@@ -39,13 +39,16 @@ def _safe_sqrt(x):
 
 def eigenvalues_descending(d):
     """Eigenvalues of the symmetric Hessian given its 6 components
-    [..., 6] in ider order (xx, yy, zz, xy, xz, yz), sorted descending.
+    [6, ...] in ider order (xx, yy, zz, xy, xz, yz), sorted descending.
 
     Follows inverse_collapse_time (collapse_times.c:679-749); returns
     (l1, l2, l3, fail) where fail flags the q^3 < r^2 or q < 0 branch that
     the reference maps to F = -10.
+
+    The components stay as separate [N,N,N] arrays: a trailing axis of 6
+    would be padded to 128 lanes by the TPU tiling (21x memory traffic).
     """
-    d0, d1, d2, d3, d4, d5 = (d[..., i] for i in range(6))
+    d0, d1, d2, d3, d4, d5 = (d[i] for i in range(6))
     mu1 = d0 + d1 + d2
     mu1_2 = mu1 * mu1
     mu2 = (0.5 * mu1_2 - 0.5 * (d0 * d0 + d1 * d1 + d2 * d2)
@@ -128,42 +131,58 @@ def ell_classic(l1, l2, l3):
     return jnp.where((delta > 0.0) & (out > 0.0), out + corr, out)
 
 
-def make_inverse_growth_table(cosmo, n_ext: int = 8):
-    """(log10 D, log10 a) table for inverting the growing mode on device.
+def make_inverse_growth_table(cosmo, n: int = 4096):
+    """Uniform table of log10 a vs log10 D for inverting the growing mode
+    on device with pure arithmetic indexing (no searchsorted: binary-search
+    gathers are slow on the VPU).
 
-    Extends both ends linearly so jnp.interp reproduces the reference's
-    linearly-extrapolating spline eval (my_spline_eval, cosmo.c:2016-2027).
+    Returns (tab_values[n], (lo, dx)) where tab_values[i] = log10 a at
+    log10 D = lo + i*dx; ends extend linearly like the reference's
+    my_spline_eval (cosmo.c:2016-2027).
     """
     logD = np.asarray(cosmo.sp_grow1.y, dtype=np.float64)
     loga = np.asarray(cosmo.sp_grow1.x, dtype=np.float64)
+    # pad the domain so any realistic b_c lands inside
+    lo = logD[0] - 10.0
+    hi = logD[-1] + 5.0
+    grid = np.linspace(lo, hi, n)
     lo_slope = (loga[1] - loga[0]) / (logD[1] - logD[0])
     hi_slope = (loga[-1] - loga[-2]) / (logD[-1] - logD[-2])
-    lo_x = logD[0] - 20.0
-    hi_x = logD[-1] + 20.0
-    logD_ext = np.concatenate([[lo_x], logD, [hi_x]])
-    loga_ext = np.concatenate([[loga[0] + (lo_x - logD[0]) * lo_slope],
-                               loga,
-                               [loga[-1] + (hi_x - logD[-1]) * hi_slope]])
-    return (jnp.asarray(logD_ext, jnp.float32),
-            jnp.asarray(loga_ext, jnp.float32))
+    vals = np.interp(grid, logD, loga,
+                     left=np.nan, right=np.nan)
+    below = grid < logD[0]
+    above = grid > logD[-1]
+    vals[below] = loga[0] + (grid[below] - logD[0]) * lo_slope
+    vals[above] = loga[-1] + (grid[above] - logD[-1]) * hi_slope
+    return (jnp.asarray(vals, jnp.float32),
+            (np.float32(lo), np.float32(grid[1] - grid[0])))
+
+
+def uniform_lookup(tab, lo, dx, x):
+    """Linear interpolation on a uniform table via computed indices."""
+    t = (x - lo) / dx
+    t = jnp.clip(t, 0.0, tab.shape[0] - 1.001)
+    i = t.astype(jnp.int32)
+    w = t - i.astype(jnp.float32)
+    return tab[i] * (1.0 - w) + tab[i + 1] * w
 
 
 @partial(jax.jit, static_argnames=())
-def collapse_update(derivs, Fmax, Rmax, ismooth, logD_tab, loga_tab):
+def collapse_update(derivs, Fmax, Rmax, ismooth, invgrow_tab, invgrow_lo,
+                    invgrow_dx):
     """One smoothing radius of compute_collapse_times
     (collapse_times.c:431-673): new collapse times F from the Hessian stack
     [6, N, N, N], running max into (Fmax, Rmax), plus the delta stats.
 
     Returns (Fmax, Rmax, mean_delta, mean_delta_sq).
     """
-    d = jnp.moveaxis(derivs, 0, -1)
-    delta = d[..., 0] + d[..., 1] + d[..., 2]
-    l1, l2, l3, fail = eigenvalues_descending(d)
+    delta = derivs[0] + derivs[1] + derivs[2]
+    l1, l2, l3, fail = eigenvalues_descending(derivs)
     bc = ell_classic(l1, l2, l3)
-    # F = 1 + z_c; InverseGrowingMode via the log-log growth table
-    loga_c = jnp.interp(jnp.log10(jnp.maximum(bc, 1e-30)),
-                        logD_tab, loga_tab)
-    F = jnp.where(bc > 0.0, 10.0 ** (-loga_c), 0.0)
+    # F = 1 + z_c = 10^-log10(a_c); a_c from the uniform inverse-growth table
+    loga_c = uniform_lookup(invgrow_tab, invgrow_lo, invgrow_dx,
+                            jnp.log10(jnp.maximum(bc, 1e-30)))
+    F = jnp.where(bc > 0.0, jnp.exp2(-3.321928094887362 * loga_c), 0.0)
     F = jnp.where(fail, -10.0, F)
 
     upd = Fmax < F

@@ -26,10 +26,10 @@ def build_fmax_step(mesh: Mesh, N: int):
     collapse-time update, all sharded over the mesh."""
     second = pfft.distributed_second_derivatives(mesh, N)
 
-    def step(kden, Fmax, Rmax, R_grid, ismooth, logD_tab, loga_tab):
+    def step(kden, Fmax, Rmax, R_grid, ismooth, tab, lo, dx):
         sd = second(kden, R_grid)
         return collapse.collapse_update(sd, Fmax, Rmax, ismooth,
-                                        logD_tab, loga_tab)
+                                        tab, lo, dx)
 
     return jax.jit(step)
 
@@ -57,11 +57,11 @@ def demo_step(mesh: Mesh, N: int = 32, seed: int = 1):
     Rmax = jax.device_put(jnp.full((N, N, N), -1, jnp.int32), rshard)
 
     # linear-growth table for a flat LCDM-ish background (D ~ a)
-    loga = jnp.linspace(-25.0, 20.0, 64)
-    logD = loga
+    tab = jnp.linspace(-25.0, 20.0, 4096)
+    lo, dx = jnp.float32(-25.0), jnp.float32(45.0 / 4095)
 
     step = build_fmax_step(mesh, N)
     Fmax, Rmax, d_avg, d_var = step(kden, Fmax, Rmax, jnp.float32(2.0),
-                                    jnp.int32(0), logD, loga)
+                                    jnp.int32(0), tab, lo, dx)
     disp = build_displacement_step(mesh, N)(kden, jnp.float32(1.0))
     return Fmax, Rmax, disp

@@ -37,6 +37,9 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     if write_outputs:
         cosmo.write_cosmology_file(outdir)
 
+    from .plc import build_plc_geometry, write_plc_catalog, write_nz
+    plc_geom = build_plc_geometry(params, cosmo, verbose=verbose)
+
     fmax_res = run_fmax(params, cosmo, verbose=verbose)
     timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
 
@@ -45,7 +48,8 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                  os.path.join(outdir,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
 
-    frag_res = run_fragmentation(params, cosmo, fmax_res, verbose=verbose)
+    frag_res = run_fragmentation(params, cosmo, fmax_res,
+                                 plc_geom=plc_geom, verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
 
     written = []
@@ -59,6 +63,14 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         if not params.DoNotWriteHistories:
             written.append(io_cat.write_histories(params, frag_res.groups,
                                                   outdir))
+        if frag_res.plc is not None and not params.DoNotWriteCatalogs:
+            written.append(write_plc_catalog(
+                params, plc_geom,
+                dict(name=frag_res.plc.name, z=frag_res.plc.z,
+                     mass=frag_res.plc.mass, x=frag_res.plc.x,
+                     v=frag_res.plc.v), outdir))
+            written.append(write_nz(params, cosmo, plc_geom,
+                                    frag_res.plc.nz, outdir))
         timings["io"] = time.perf_counter() - t0
 
     timings["total"] = time.perf_counter() - t_total

@@ -72,9 +72,8 @@ def test_eigenvalues_match_numpy(random_tensors):
     import jax.numpy as jnp
     from pinocchio_tpu.ops.collapse import eigenvalues_descending
     d = random_tensors
-    l1, l2, l3, fail = eigenvalues_descending(jnp.asarray(d, jnp.float64)
-                                              if False else
-                                              jnp.asarray(d, jnp.float32))
+    l1, l2, l3, fail = eigenvalues_descending(
+        jnp.asarray(d.T, jnp.float32))
     l1, l2, l3 = map(np.asarray, (l1, l2, l3))
     ref = np.array([eigen_ref(row) for row in d])
     ok = ~np.asarray(fail)
@@ -134,11 +133,13 @@ def test_spherical_limit():
 
 def test_inverse_growth_roundtrip_device(hmf_validation_cosmology):
     import jax.numpy as jnp
-    from pinocchio_tpu.ops.collapse import make_inverse_growth_table
+    from pinocchio_tpu.ops.collapse import (make_inverse_growth_table,
+                                            uniform_lookup)
     c = hmf_validation_cosmology
-    logD, loga = make_inverse_growth_table(c)
+    tab, (lo, dx) = make_inverse_growth_table(c)
     for z in (0.0, 1.0, 4.0, 20.0):
         D = float(c.GrowingMode(z))
-        got = 10.0 ** (-float(jnp.interp(jnp.log10(jnp.float32(D)),
-                                         logD, loga))) - 1.0
+        la = uniform_lookup(tab, lo, dx,
+                            jnp.log10(jnp.float32(D)))
+        got = 10.0 ** (-float(la)) - 1.0
         assert abs(got - z) < 2e-3 * (1 + z)
