@@ -98,7 +98,7 @@ class _SweepOutput(ctypes.Structure):
                 ("t_appear", _f32p), ("t_peak", _f32p), ("t_merge", _f32p),
                 ("good", _u8p), ("alive", _u8p),
                 ("ngroups", _i32p), ("counters", _u64p),
-                ("group_of_particle", _i32p)]
+                ("group_of_particle", _i32p), ("zacc", _f32p)]
 
 
 def fragment_parameters(order: int, use_sim_params: bool = False):
@@ -206,6 +206,10 @@ class FragmentResult:
     npeaks: int
     nstored: int
     plc: Optional[PlcResult] = None
+    # per stored particle (sorted by descending Fmax, see `pos`):
+    particle_pos: np.ndarray = None      # linear cell index
+    particle_group: np.ndarray = None    # final group id (1 = filament)
+    particle_zacc: np.ndarray = None     # accretion redshift or -1
     timings: Dict[str, float] = field(default_factory=dict)
 
 
@@ -281,6 +285,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     g_ngroups = np.zeros(1, np.int32)
     counters = np.zeros(NCOUNTERS, np.uint64)
     gop = np.zeros(n, np.int32)
+    zacc = np.zeros(n, np.float32)
 
     def p(arr, typ):
         return arr.ctypes.data_as(typ) if arr is not None else typ()
@@ -321,7 +326,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                       good=p(g_good, _u8p), alive=p(g_alive, _u8p),
                       ngroups=p(g_ngroups, _i32p),
                       counters=p(counters, _u64p),
-                      group_of_particle=p(gop, _i32p))
+                      group_of_particle=p(gop, _i32p),
+                      zacc=p(zacc, _f32p))
 
     # ---- past light cone buffers ----
     plc_on = plc_geom is not None and plc_geom.enabled
@@ -417,4 +423,6 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
               f"mergers {counters[10]}, filament particles {counters[12]}")
     return FragmentResult(catalogs=catalogs, groups=groups,
                           counters=counters, npeaks=npeaks, nstored=n,
-                          plc=plc_result, timings=timings)
+                          plc=plc_result, particle_pos=pos,
+                          particle_group=gop, particle_zacc=zacc,
+                          timings=timings)

@@ -144,6 +144,7 @@ typedef struct {
     int32_t *ngroups;
     uint64_t *counters;     /* [16] event counters */
     int32_t *group_of_particle;  /* [n] final group id per particle, or 0/1 */
+    float *zacc;            /* [n] accretion redshift (SNAPSHOT products) */
 } sweep_output;
 
 /* ------------------------------------------------------------------ */
@@ -343,6 +344,7 @@ static void state_update(int32_t M1, double q1[3], float *vs1[4],
 /* accrete particle (cell ix,iy,iz, index ip) onto group g at time F
  * (accretion, build_groups.c:1243-1281) */
 static int32_t *group_of_particle_arr;   /* [n] */
+static float *join_F_arr;                /* [n] F at which it joined */
 
 static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
                          double F)
@@ -366,6 +368,7 @@ static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
         G.t_appear[g] = (float)F;
 
     group_of_particle_arr[ip] = g;
+    join_F_arr[ip] = (float)F;
 }
 
 /* merger-tree linked-list bookkeeping (update_history,
@@ -666,6 +669,9 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     G.ngroups = FILAMENT;
 
     group_of_particle_arr = out->group_of_particle;
+    join_F_arr = calloc(in->n, sizeof(float));
+    if (!join_F_arr)
+        return -1;
 
     uint64_t *ctr = out->counters;   /* [16] */
     memset(ctr, 0, 16 * sizeof(uint64_t));
@@ -795,6 +801,7 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
             G.ll[g] = g;
             G.halo_app[g] = g;
             group_of_particle_arr[this_z] = g;
+            join_F_arr[this_z] = (float)F;
             if (plc_on)
                 G.Flast[g] = (float)(F > PLC->Fstart ? PLC->Fstart : F);
             if (I->min_halo_mass == 1)
@@ -961,6 +968,43 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++)
         if (G.alive[g] && G.good[g])
             ctr[14]++;
+
+    /* accretion redshifts (SNAPSHOT zacc): instead of walking particle
+     * lists at threshold crossings (merge_groups/accretion,
+     * build_groups.c:1121-1149,1256-1266), reconstruct zacc from the merge
+     * chain: a particle that joined group g0 at F_join got its zacc at the
+     * first threshold crossing of its containing group after joining */
+    if (out->zacc) {
+        for (int64_t ip = 0; ip < in->n; ip++) {
+            int32_t g = group_of_particle_arr[ip];
+            float zacc = -1.0f;
+            if (g > FILAMENT) {
+                float F_enter = join_F_arr[ip];
+                while (1) {
+                    float crossed = G.t_appear[g];
+                    if (crossed != -1.0f) {
+                        zacc = (crossed < F_enter ? crossed : F_enter)
+                               - 1.0f;
+                        break;
+                    }
+                    if (G.merged_with[g] <= FILAMENT)
+                        break;
+                    F_enter = G.t_merge[g];
+                    g = G.merged_with[g];
+                }
+            }
+            out->zacc[ip] = zacc;
+        }
+    }
+
+    /* resolve particle labels to the final (root) group id, matching the
+     * reference's group_ID relabeling at merge time */
+    for (int64_t ip = 0; ip < in->n; ip++) {
+        int32_t g = group_of_particle_arr[ip];
+        if (g > FILAMENT)
+            group_of_particle_arr[ip] = uf_find(g);
+    }
+    free(join_F_arr);
 
     /* export final group state */
     int32_t ng = G.ngroups;

@@ -23,6 +23,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     from .fmax import run_fmax, fmax_pdf
     from .fragment.driver import run_fragmentation
     from .io import catalogs as io_cat
+    from .io import dumps as io_dumps
     import numpy as np
 
     t_total = time.perf_counter()
@@ -40,8 +41,18 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     from .plc import build_plc_geometry, write_plc_catalog, write_nz
     plc_geom = build_plc_geometry(params, cosmo, verbose=verbose)
 
-    fmax_res = run_fmax(params, cosmo, verbose=verbose)
+    if params.ReadProductsFromDumps:
+        # skip GenIC + fmax entirely (pinocchio.c:220-236)
+        fmax_res = io_dumps.read_dumps(params, outdir)
+        if verbose:
+            print("[fmax] products read from dumps")
+    else:
+        fmax_res = run_fmax(params, cosmo, verbose=verbose)
     timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
+
+    if params.DumpProducts and write_outputs \
+            and not params.ReadProductsFromDumps:
+        io_dumps.dump_products(params, fmax_res, outdir)
 
     if write_outputs:
         fmax_pdf(np.asarray(fmax_res.products.Fmax),
@@ -71,6 +82,10 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                      v=frag_res.plc.v), outdir))
             written.append(write_nz(params, cosmo, plc_geom,
                                     frag_res.plc.nz, outdir))
+        if params.WriteTimelessSnapshot:
+            from .io.snapshot import write_timeless_snapshot
+            written.append(write_timeless_snapshot(params, fmax_res,
+                                                   frag_res, outdir))
         timings["io"] = time.perf_counter() - t0
 
     timings["total"] = time.perf_counter() - t_total
@@ -82,9 +97,38 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                 timings=timings, files=written)
 
 
+def run_special_mode(params: Params, mode: int, outdir: str = ".",
+                     verbose: bool = True):
+    """Special run modes (pinocchio.c argv[2]):
+    2 = write the linear density as a snapshot; 3 = write LPT initial
+    conditions as a Gadget snapshot."""
+    from .fmax import run_fmax
+    from .io.snapshot import write_density_snapshot, write_lpt_snapshot
+    from .ops.derivatives import density_field
+    import numpy as np
+
+    cosmo = Cosmology(params)
+    if mode == 2:
+        from .grids import Grid
+        from .ic import generate_kdensity
+        grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
+        kden = generate_kdensity(grid, cosmo, params.RandomSeed,
+                                 fixed=params.FixedIC,
+                                 paired=params.PairedIC)
+        dens = np.asarray(density_field(kden, params.GridSize))
+        return write_density_snapshot(params, dens, outdir)
+    if mode == 3:
+        fmax_res = run_fmax(params, cosmo, verbose=verbose)
+        return write_lpt_snapshot(params, cosmo, fmax_res, outdir)
+    raise ValueError(f"unknown special mode {mode}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("parameter_file")
+    ap.add_argument("mode", nargs="?", type=int, default=None,
+                    help="special mode: 2=linear density snapshot, "
+                    "3=LPT IC snapshot (pinocchio.c argv[2])")
     ap.add_argument("--norad", action="store_true",
                     help="no radiation in the background (reference "
                     "-DNORADIATION)")
@@ -105,7 +149,10 @@ def main(argv=None):
     if args.grid:
         params.GridSize = args.grid
     os.makedirs(args.outdir, exist_ok=True)
-    run_pipeline(params, outdir=args.outdir)
+    if args.mode is not None:
+        run_special_mode(params, args.mode, outdir=args.outdir)
+    else:
+        run_pipeline(params, outdir=args.outdir)
 
 
 if __name__ == "__main__":

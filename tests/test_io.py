@@ -1,0 +1,103 @@
+"""Snapshots, dumps, readers: round trips and format invariants."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_snapshot_header_size():
+    from pinocchio_tpu.io.snapshot import HEADER_DTYPE
+    assert HEADER_DTYPE.itemsize == 256
+
+
+def test_lpt_snapshot_roundtrip(hmf_validation_params,
+                                hmf_validation_cosmology, fmax_result,
+                                tmp_path):
+    from pinocchio_tpu.io.snapshot import (read_snapshot,
+                                           write_lpt_snapshot)
+    p = hmf_validation_params
+    path = write_lpt_snapshot(p, hmf_validation_cosmology, fmax_result,
+                              str(tmp_path))
+    header, blocks = read_snapshot(path)
+    N = p.GridSize
+    assert header["NPart"][1] == N ** 3
+    assert abs(header["BoxSize"] - p.BoxSize_h100) < 1e-6
+    pos = np.frombuffer(blocks["POS "], "<f4").reshape(-1, 3)
+    vel = np.frombuffer(blocks["VEL "], "<f4").reshape(-1, 3)
+    assert len(pos) == N ** 3
+    # positions inside the box (Mpc/h)
+    assert pos.min() >= 0.0 and pos.max() <= p.BoxSize_h100
+    # velocity rms of LCDM ICs at z=0: hundreds of km/s (over sqrt(a)=1)
+    rms = np.sqrt((vel.astype(np.float64) ** 2).mean())
+    assert 100.0 < rms < 1000.0, rms
+    ids = np.frombuffer(blocks["ID  "], "<u4")
+    assert ids[0] == 1 and ids[-1] == N ** 3
+
+
+def test_density_snapshot(hmf_validation_params, fmax_result, tmp_path):
+    from pinocchio_tpu.io.snapshot import (read_snapshot,
+                                           write_density_snapshot)
+    from pinocchio_tpu.ops.derivatives import density_field
+    p = hmf_validation_params
+    dens = np.asarray(density_field(fmax_result.kdensity, p.GridSize))
+    path = write_density_snapshot(p, dens, str(tmp_path))
+    header, blocks = read_snapshot(path)
+    d = np.frombuffer(blocks["DENS"], "<f4")
+    np.testing.assert_allclose(d.std(), dens.std(), rtol=1e-5)
+
+
+def test_dump_restart_roundtrip(hmf_validation_params, fmax_result,
+                                tmp_path):
+    from pinocchio_tpu.io import dumps
+    p = hmf_validation_params
+    dumps.dump_products(p, fmax_result, str(tmp_path))
+    res2 = dumps.read_dumps(p, str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(res2.products.Fmax),
+                                  np.asarray(fmax_result.products.Fmax))
+    np.testing.assert_array_equal(np.asarray(res2.products.vel["v2"]),
+                                  np.asarray(fmax_result.products.vel["v2"]))
+    # mismatching config must be rejected
+    import dataclasses
+    p_bad = dataclasses.replace(p, RandomSeed=1)
+    with pytest.raises(ValueError):
+        dumps.read_dumps(p_bad, str(tmp_path))
+
+
+def test_read_reference_ascii_catalog():
+    """The reader must parse the reference's shipped ascii catalogs."""
+    from pinocchio_tpu.io.readers import read_catalog
+    rec = read_catalog("/root/reference/HMF_Validation/"
+                       "pinocchio.0.0000.test.catalog.out")
+    assert len(rec) == 8707
+    assert rec["n"].min() >= 10
+    assert (rec["M"] > 0).all()
+
+
+def test_read_reference_histories():
+    from pinocchio_tpu.io.readers import read_histories
+    ntrees, trees = read_histories("/root/reference/HMF_Validation/"
+                                   "pinocchio.test.histories.out")
+    assert ntrees == 8707
+    assert sum(len(t) for t in trees) == 14776
+
+
+def test_binary_catalog_roundtrip_via_reader(hmf_validation_params,
+                                             tmp_path):
+    import dataclasses
+    from pinocchio_tpu.fragment.driver import CatalogSnapshot
+    from pinocchio_tpu.io import catalogs as io_cat
+    from pinocchio_tpu.io.readers import read_catalog
+    p = dataclasses.replace(hmf_validation_params, CatalogInAscii=False)
+    rng = np.random.default_rng(0)
+    n = 57
+    snap = CatalogSnapshot(
+        z=0.0, name=rng.integers(0, 2 ** 40, n).astype(np.uint64),
+        mass=rng.integers(10, 1000, n).astype(np.int32),
+        q=rng.uniform(0, 128, (n, 3)).astype(np.float32),
+        x=rng.uniform(0, 128, (n, 3)).astype(np.float32),
+        v=rng.normal(0, 300, (n, 3)).astype(np.float32))
+    path = io_cat.write_catalog(p, snap, str(tmp_path))
+    rec = read_catalog(path)
+    assert (rec["name"] == snap.name).all()
+    assert (rec["n"] == snap.mass).all()
