@@ -60,10 +60,13 @@ def main():
     sm = Smoothing.build(params, cosmo)
     kden = generate_kdensity(grid, cosmo, params.RandomSeed)
     kden.block_until_ready()
-    ig_tab, (ig_lo, ig_dx) = collapse.make_inverse_growth_table(cosmo)
+    tab, (lo, dx) = collapse.make_inverse_growth_table(cosmo)
 
     N = args.grid
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
+    ig_tab = jnp.tile(tab[None, :], (sm.n, 1))
+    ig_lo = jnp.full((sm.n,), lo, jnp.float32)
+    ig_dx = jnp.full((sm.n,), dx, jnp.float32)
 
     def collapse_phase(kden):
         out = fmax_loop(kden, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)

@@ -220,10 +220,13 @@ def read_parameter_file(path: str, **overrides) -> Params:
         out_path = os.path.join(base, out_path)
     if os.path.exists(out_path):
         p.output_z = read_outputs(out_path)
-    # CAMB table request implies scale-dependent growth path
+    # CAMB table request implies the neutrino-cosmology feature set of the
+    # reference build (src/Makefile:77-80): scale-dependent growth +
+    # segmented displacement recomputation
     if p.FileWithInputSpectrum == "CAMBTable":
         p.scale_dependent = True
         p.read_pk_table = True
+        p.recompute_displacements = True
     for k, v in overrides.items():
         setattr(p, k, v)
     p.validate()

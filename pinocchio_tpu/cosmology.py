@@ -39,6 +39,11 @@ TOLERANCE = 1.e-4
 
 GAUSSIAN, SHARP_K, TOP_HAT = 0, 1, 2
 
+# scale-dependent growth k grid (def_splines.h:40-43)
+NK_BINS = 10
+LOGKMIN = -3.0
+DELTALOGK = 0.5
+
 
 class _Spline:
     """Natural cubic spline with linear extrapolation beyond the x-range,
@@ -100,8 +105,16 @@ class Cosmology:
         if not self.simpleLambda:
             self._init_dark_energy()
 
+        # optional tabulated H(z) (READ_HUBBLE_TABLE, cosmo.c:874-931)
+        self._hubble_spline = None
+        if getattr(p, "HubbleTableFile", "no") not in ("no", ""):
+            self._init_hubble_table()
+
         self._init_power_spectrum()
         self._integrate_growth()
+        self.scale_dep = False
+        if p.scale_dependent and self.WhichSpectrum == 5:
+            self._init_scaledep_from_camb()
         self.PkNorm = 1.0
         self._normalize_power_spectrum()
         # Gaussian-window variance drives the smoothing ladder
@@ -136,6 +149,8 @@ class Cosmology:
         """E^2(z) = (H/H0_100h)^2; Hubble() of cosmo.c:1691-1711."""
         p = self.p
         zp1 = np.asarray(1.0 + np.asarray(z), dtype=np.float64)
+        if self._hubble_spline is not None:
+            return 10.0 ** (2.0 * self._hubble_spline(-np.log10(zp1)))
         base = (self.OmegaRad * zp1 ** 4 + p.Omega0 * zp1 ** 3
                 + self.OmegaK * zp1 ** 2)
         if self.simpleLambda:
@@ -143,8 +158,26 @@ class Cosmology:
         de_int = self._int_eos_spline(-np.log10(zp1))
         return base + p.OmegaLambda * zp1 ** 3 * np.exp(3.0 * de_int)
 
+    def _init_hubble_table(self):
+        """Tabulated H(z) in km/s/Mpc -> spline of log10 H over log10 a
+        (read_TabulatedHubble, cosmo.c:874-931)."""
+        import os
+        path = self.p.HubbleTableFile
+        if not os.path.isabs(path):
+            path = os.path.join(self.p.work_dir, path)
+        data = np.loadtxt(path)
+        loga = np.log10(1.0 / (1.0 + data[:, 0]))
+        logH = np.log10(data[:, 1])
+        order = np.argsort(loga)
+        self._hubble_spline = _Spline(loga[order], logH[order])
+
     def Hubble(self, z):
-        """H(z) in km/s/Mpc."""
+        """H(z) in km/s/Mpc; prefers the external table when provided
+        (cosmo.c:1696-1699)."""
+        if self._hubble_spline is not None:
+            return (100.0 * self.p.Hubble100
+                    * 10.0 ** self._hubble_spline(
+                        -np.log10(1.0 + np.asarray(z))))
         return 100.0 * self.p.Hubble100 * np.sqrt(self.Esq(z))
 
     def Hubble_Gyr(self, z):
@@ -160,8 +193,14 @@ class Cosmology:
         return self.Esq(1.0 / a - 1.0)
 
     def _dlnE2_da(self, a):
-        """d ln E^2 / da, analytic (cosmo.c:632-657)."""
+        """d ln E^2 / da, analytic (cosmo.c:632-657); spline derivative of
+        the external H table when one is loaded (cosmo.c:619-630)."""
         p = self.p
+        if self._hubble_spline is not None:
+            sp = self._hubble_spline
+            x = math.log10(a)
+            x = min(max(x, sp.x[0]), sp.x[-1])
+            return (2.0 / a) * float(sp._cs(x, 1))
         a2, a3, a4, a5 = a * a, a ** 3, a ** 4, a ** 5
         E2 = p.Omega0 / a3 + self.OmegaK / a2 + self.OmegaRad / a4
         dE2 = (-3.0 * p.Omega0 / a4 - 2.0 * self.OmegaK / a3
@@ -264,30 +303,170 @@ class Cosmology:
         self.sp_fom31 = _Spline(la, fom31)
         self.sp_fom32 = _Spline(la, fom32)
 
-    # public growth API (scale-independent; k accepted for interface parity
-    # with cosmo.c:1789-1819, used once scale-dependent growth lands)
+    # ------------------------------------------------------------------
+    # scale-dependent growth from CAMB P(k,z) tables
+    # (read_Pk_table_from_CAMB, cosmo.c:1192-1429)
+    # ------------------------------------------------------------------
+    def _init_scaledep_from_camb(self):
+        import glob
+        import os
+        p = self.p
+        base = p.CAMBMatterFile
+        rfile = p.CAMBRedshiftsFile
+        if not os.path.isabs(base):
+            base = os.path.join(p.work_dir, base)
+        if not os.path.isabs(rfile):
+            rfile = os.path.join(p.work_dir, rfile)
+        files = sorted(glob.glob(base + "_*.dat"))
+        ncamb = len(files)
+        reds = np.loadtxt(rfile)[:, 1]
+        if reds[-1] != 0.0:
+            raise ValueError("last CAMB redshift must be 0")
+        camb_a = 1.0 / (1.0 + reds)
+
+        # lingrow(a, logk) = 0.5 (log10 k^3 P(k,z) - log10 k^3 P(k,0))
+        data0 = np.loadtxt(files[-1])
+        logk_table = np.log10(data0[:, 0] * p.Hubble100)
+        logk3p0 = np.log10(data0[:, 0] ** 3 * data0[:, 1])
+        lingrow = np.zeros((ncamb, len(logk_table)))
+        for i in range(ncamb - 1):
+            d = np.loadtxt(files[i])
+            lingrow[i] = 0.5 * (np.log10(d[:, 0] ** 3 * d[:, 1]) - logk3p0)
+
+        from scipy.interpolate import RectBivariateSpline
+        spl2d = RectBivariateSpline(camb_a, logk_table, lingrow,
+                                    kx=3, ky=3)
+
+        agrid = 10.0 ** self._loga_grid
+        nb = NBINS
+        g1 = np.zeros((NK_BINS, nb))
+        g2 = np.zeros((NK_BINS, nb))
+        g31 = np.zeros((NK_BINS, nb))
+        g32 = np.zeros((NK_BINS, nb))
+        first = int(np.argmax(agrid >= camb_a[0]))
+        inside = (agrid >= camb_a[0]) & (agrid <= 1.0)
+        today = int(np.max(np.flatnonzero(inside)))
+        for j in range(NK_BINS):
+            logk_req = LOGKMIN + j * DELTALOGK
+            sel = inside
+            Om = self.OmegaMatter(1.0 / agrid[sel] - 1.0)
+            g1[j, sel] = 10.0 ** spl2d(agrid[sel], logk_req, grid=False)
+            g2[j, sel] = 3.0 / 7.0 * g1[j, sel] ** 2 * Om ** (-1.0 / 143.0)
+            # NB: the reference evaluates the 3rd-order factors on the
+            # FIRST k bin's D1 for every j (cosmo.c:1351-1352, grow1[i]
+            # instead of grow1[i + j*NBINS]); behavior reproduced for
+            # output parity
+            g31[j, sel] = g1[0, sel] ** 3 * Om ** (-4.0 / 275.0) / 9.0
+            g32[j, sel] = (g1[0, sel] ** 3 * Om ** (-268.0 / 17875.0)
+                           * 5.0 / 42.0)
+
+        # a > 1: power-law extrapolation (cosmo.c:1357-1369)
+        for j in range(NK_BINS):
+            slope = (math.log10(g1[j, today] / g1[j, today - 1])
+                     / math.log10(agrid[today] / agrid[today - 1]))
+            rat = agrid[today + 1:] / agrid[today]
+            g1[j, today + 1:] = g1[j, today] * rat ** slope
+            g2[j, today + 1:] = g2[j, today] * rat ** (2 * slope)
+            g31[j, today + 1:] = g31[j, today] * rat ** (3 * slope)
+            g32[j, today + 1:] = g32[j, today] * rat ** (3 * slope)
+            # a < first CAMB a: scale with a (cosmo.c:1371-1379)
+            rat = agrid[:first] / agrid[first]
+            g1[j, :first] = g1[j, first] * rat
+            g2[j, :first] = g2[j, first] * rat ** 2
+            g31[j, :first] = g31[j, first] * rat ** 3
+            g32[j, :first] = g32[j, first] * rat ** 3
+
+        # f = dlnD/dlna by centered differences on the a grid
+        # (cosmo.c:1381-1417)
+        def fomega_of(g):
+            f = np.zeros_like(g)
+            for i in range(today):
+                i1, i2 = (0, 2) if i == 0 else (i - 1, i + 1)
+                f[:, i] = ((g[:, i2] - g[:, i1])
+                           / (agrid[i2] - agrid[i1]) * agrid[i] / g[:, i])
+            slope = ((f[:, today - 1] - f[:, today - 2])
+                     / (agrid[today - 1] - agrid[today - 2]))
+            for i in range(today, nb):
+                f[:, i] = (f[:, today - 1]
+                           + slope * (agrid[i] - agrid[today - 1]))
+            return f
+
+        self.sd_grow = {1: g1, 2: g2, 31: g31, 32: g32}
+        self.sd_fomega = {1: fomega_of(g1), 2: fomega_of(g2),
+                          31: fomega_of(g31), 32: fomega_of(g32)}
+        # per-bin splines of log10 D over log10 a, like SP_GROW1+j
+        self._sd_spl_grow = {
+            o: [_Spline(self._loga_grid, np.log10(self.sd_grow[o][j]))
+                for j in range(NK_BINS)] for o in (1, 2, 31, 32)}
+        self._sd_spl_fom = {
+            o: [_Spline(self._loga_grid, self.sd_fomega[o][j])
+                for j in range(NK_BINS)] for o in (1, 2, 31, 32)}
+        self.kmin = 10.0 ** LOGKMIN
+        self.kmax = 10.0 ** (LOGKMIN + (NK_BINS - 1) * DELTALOGK)
+        self.scale_dep = True
+
+    def _interp_growth(self, z, k, order, kind):
+        """InterpolateGrowth (cosmo.c:1728-1755): linear interpolation in
+        log10 k between the per-bin time splines."""
+        spls = (self._sd_spl_grow if kind == "g" else self._sd_spl_fom)[order]
+        x = -np.log10(1.0 + np.asarray(z, dtype=np.float64))
+        k = np.asarray(k, dtype=np.float64)
+        kc = np.clip(k, self.kmin, self.kmax)
+        dk = (np.log10(kc) - LOGKMIN) / DELTALOGK
+        kk = np.minimum(dk.astype(int), NK_BINS - 2)
+        w = dk - kk
+        if np.ndim(kk) == 0:
+            lo = spls[int(kk)](x)
+            hi = spls[int(kk) + 1](x)
+        else:
+            lo = np.empty(np.broadcast(x, kk).shape)
+            hi = np.empty_like(lo)
+            for j in np.unique(kk):
+                m = kk == j
+                lo[m] = spls[int(j)](np.broadcast_to(x, m.shape)[m])
+                hi[m] = spls[int(j) + 1](np.broadcast_to(x, m.shape)[m])
+        return (1.0 - w) * lo + w * hi
+
+    # public growth API (cosmo.c:1789-1819); the k argument participates
+    # only for scale-dependent growth
     def GrowingMode(self, z, k=0.0):
+        if self.scale_dep:
+            return 10.0 ** self._interp_growth(z, k, 1, "g")
         return 10.0 ** self.sp_grow1(-np.log10(1.0 + np.asarray(z)))
 
     def GrowingMode_2LPT(self, z, k=0.0):
+        if self.scale_dep:
+            return 10.0 ** self._interp_growth(z, k, 2, "g")
         return 10.0 ** self.sp_grow2(-np.log10(1.0 + np.asarray(z)))
 
     def GrowingMode_3LPT_1(self, z, k=0.0):
+        if self.scale_dep:
+            return -(10.0 ** self._interp_growth(z, k, 31, "g"))
         return -(10.0 ** self.sp_grow31(-np.log10(1.0 + np.asarray(z))))
 
     def GrowingMode_3LPT_2(self, z, k=0.0):
+        if self.scale_dep:
+            return 10.0 ** self._interp_growth(z, k, 32, "g")
         return 10.0 ** self.sp_grow32(-np.log10(1.0 + np.asarray(z)))
 
     def fomega(self, z, k=0.0):
+        if self.scale_dep:
+            return self._interp_growth(z, k, 1, "f")
         return self.sp_fom1(-np.log10(1.0 + np.asarray(z)))
 
     def fomega_2LPT(self, z, k=0.0):
+        if self.scale_dep:
+            return self._interp_growth(z, k, 2, "f")
         return self.sp_fom2(-np.log10(1.0 + np.asarray(z)))
 
     def fomega_3LPT_1(self, z, k=0.0):
+        if self.scale_dep:
+            return self._interp_growth(z, k, 31, "f")
         return self.sp_fom31(-np.log10(1.0 + np.asarray(z)))
 
     def fomega_3LPT_2(self, z, k=0.0):
+        if self.scale_dep:
+            return self._interp_growth(z, k, 32, "f")
         return self.sp_fom32(-np.log10(1.0 + np.asarray(z)))
 
     def InverseGrowingMode(self, D):

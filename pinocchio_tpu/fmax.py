@@ -84,59 +84,98 @@ class FmaxResult:
     smoothing: Smoothing
     grid: Grid
     kdensity: jax.Array
+    # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
+    # (list of dicts of host [3,N,N,N] arrays); None in single-segment mode
+    vel_segments: list = None
     timings: Dict[str, float] = field(default_factory=dict)
 
 
 @partial(jax.jit, static_argnames=("N", "nsmooth"))
-def fmax_loop(kdensity, radii_grid, invgrow_tab, invgrow_lo, invgrow_dx,
+def fmax_loop(kdensity, radii_grid, invgrow_tabs, invgrow_lo, invgrow_dx,
               N: int, nsmooth: int):
     """The full smoothing-radius cycle (fmax.c:66-150) as ONE device
-    program: nsmooth x (6 derivative FFTs + collapse update), unrolled.
+    program: a lax.scan over radii whose body does the 6 derivative FFTs +
+    the collapse update.
 
-    A single dispatch + sync per run matters doubly here: XLA can overlap
-    and fuse across radii, and the host<->device round trip (expensive on a
-    tunneled TPU) is paid once instead of per radius.
+    One dispatch + one host sync per run (the tunneled TPU backend has a
+    high per-call cost), and the scan keeps the XLA program size
+    independent of the number of radii (a fully unrolled 512^3 program
+    overwhelms the compiler).
 
-    Returns (Fmax, Rmax, d_avg[nsmooth], d_var[nsmooth]) and the R=0
-    Hessian stack for the LPT stage.
+    invgrow_tabs is [nsmooth, ntab] (one inverse-growth table per radius —
+    rows are identical unless growth is scale-dependent, where the smoothed
+    density's effective growth replaces the k=0 one; SPLINE_INVGROW,
+    initialization.c:1551-1707); invgrow_lo/dx are [nsmooth].
+
+    Returns (Fmax, Rmax, d_avg[nsmooth], d_var[nsmooth], sd) with sd the
+    R=0 Hessian stack for the LPT stage.
     """
-    Fmax = jnp.full((N, N, N), -10.0, jnp.float32)
-    Rmax = jnp.full((N, N, N), -1, jnp.int32)
-    avgs = []
-    variances = []
-    sd = None
-    for ism in range(nsmooth):
-        sd = derivatives.second_derivatives.__wrapped__(
-            kdensity, radii_grid[ism], N)
+    Fmax0 = jnp.full((N, N, N), -10.0, jnp.float32)
+    Rmax0 = jnp.full((N, N, N), -1, jnp.int32)
+    sd0 = jnp.zeros((6, N, N, N), jnp.float32)
+
+    def body(carry, xs):
+        Fmax, Rmax, _ = carry
+        R_grid, ism, tab, lo, dx = xs
+        sd = derivatives.second_derivatives.__wrapped__(kdensity, R_grid, N)
         Fmax, Rmax, d_avg, d_var = collapse.collapse_update.__wrapped__(
-            sd, Fmax, Rmax, jnp.int32(ism), invgrow_tab, invgrow_lo,
-            invgrow_dx)
-        avgs.append(d_avg)
-        variances.append(d_var)
-    return Fmax, Rmax, jnp.stack(avgs), jnp.stack(variances), sd
+            sd, Fmax, Rmax, ism, tab, lo, dx)
+        return (Fmax, Rmax, sd), (d_avg, d_var)
+
+    xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32),
+          invgrow_tabs, invgrow_lo, invgrow_dx)
+    (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
+        body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
+    return Fmax, Rmax, avgs, variances, sd
 
 
-@partial(jax.jit, static_argnames=("N", "order"))
-def displacement_stage(kdensity, sd, growths, N: int, order: int):
+@partial(jax.jit, static_argnames=("N", "order", "scaledep"))
+def displacement_stage(kdensity, sd, growths, N: int, order: int,
+                       scaledep: bool = False):
     """All LPT sources + displacement stacks as one device program
-    (compute_displacements, fmax.c:292-367)."""
-    D1, D2, D31, D32 = growths
+    (compute_displacements, fmax.c:292-367).
+
+    growths: scalars (D1, D2, D31, D32) when scale-independent, else
+    (gtabs[4, ntab], glo, gdx) per-mode growth tables over log10 |k|.
+    """
+    def first(kvec, iorder):
+        if scaledep:
+            gtabs, glo, gdx = growths
+            return derivatives.first_derivatives_tab.__wrapped__(
+                kvec, gtabs[iorder], glo, gdx, N)
+        return derivatives.first_derivatives.__wrapped__(
+            kvec, growths[iorder], N)
+
     out = {}
     if order >= 2:
         kvec2, kvec31, kvec32 = lpt.lpt_sources.__wrapped__(sd, N)
-        out["v2"] = derivatives.first_derivatives.__wrapped__(
-            kvec2, D2, N)
+        out["v2"] = first(kvec2, 1)
         if order >= 3:
-            out["v31"] = derivatives.first_derivatives.__wrapped__(
-                kvec31, D31, N)
-            out["v32"] = derivatives.first_derivatives.__wrapped__(
-                kvec32, D32, N)
-    out["v1"] = derivatives.first_derivatives.__wrapped__(kdensity, D1, N)
+            out["v31"] = first(kvec31, 2)
+            out["v32"] = first(kvec32, 3)
+    out["v1"] = first(kdensity, 0)
     return out
 
 
+def growth_k_tables(cosmo: Cosmology, z0: float, N: int, ntab: int = 512):
+    """Per-order growth D_i(z0, k) tables over log10 |k| in GRID units,
+    replicating the reference's grid-unit k in the growth switch
+    (fmax-pfft.c:340-364)."""
+    lo = math.log10(2.0 * math.pi / N) - 2.0
+    hi = math.log10(math.pi * math.sqrt(3.0)) + 0.1
+    logk = np.linspace(lo, hi, ntab)
+    k = 10.0 ** logk
+    tabs = np.stack([
+        np.asarray(cosmo.GrowingMode(z0, k), np.float32),
+        np.asarray(cosmo.GrowingMode_2LPT(z0, k), np.float32),
+        np.asarray(cosmo.GrowingMode_3LPT_1(z0, k), np.float32),
+        np.asarray(cosmo.GrowingMode_3LPT_2(z0, k), np.float32)])
+    return (jnp.asarray(tabs), jnp.float32(lo),
+            jnp.float32(logk[1] - logk[0]))
+
+
 def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
-             verbose: bool = True) -> FmaxResult:
+             scaledep_gm=None, verbose: bool = True) -> FmaxResult:
     grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
     N = grid.N
     sm = Smoothing.build(params, cosmo)
@@ -150,7 +189,21 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
         kdensity.block_until_ready()
     timings["dens"] = time.perf_counter() - t0
 
-    ig_tab, (ig_lo, ig_dx) = collapse.make_inverse_growth_table(cosmo)
+    # inverse growing mode per radius: with scale-dependent growth each
+    # radius inverts the smoothed density's effective growth
+    # (InverseGrowingMode, cosmo.c:1822-1832)
+    if scaledep_gm is not None:
+        rows = [collapse.make_inverse_table_from_curve(
+            scaledep_gm.invgrow_logD[i], scaledep_gm.loga_grid)
+            for i in range(sm.n)]
+        ig_tab = jnp.asarray(np.stack([r[0] for r in rows]))
+        ig_lo = jnp.asarray(np.array([r[1] for r in rows]))
+        ig_dx = jnp.asarray(np.array([r[2] for r in rows]))
+    else:
+        tab, (lo, dx) = collapse.make_inverse_growth_table(cosmo)
+        ig_tab = jnp.tile(tab[None, :], (sm.n, 1))
+        ig_lo = jnp.full((sm.n,), lo, jnp.float32)
+        ig_dx = jnp.full((sm.n,), dx, jnp.float32)
 
     # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
@@ -171,19 +224,42 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     t0 = time.perf_counter()
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
-    growths = (jnp.float32(cosmo.GrowingMode(z0)),
-               jnp.float32(cosmo.GrowingMode_2LPT(z0)),
-               jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
-               jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
+    scaledep = bool(getattr(cosmo, "scale_dep", False))
+    if scaledep:
+        growths = growth_k_tables(cosmo, z0, N)
+    else:
+        growths = (jnp.float32(cosmo.GrowingMode(z0)),
+                   jnp.float32(cosmo.GrowingMode_2LPT(z0)),
+                   jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
+                   jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
     vel: Dict[str, jax.Array] = displacement_stage(kdensity, sd, growths,
-                                                   N, params.lpt_order)
+                                                   N, params.lpt_order,
+                                                   scaledep)
     for v in vel.values():
         v.block_until_ready()
+
+    # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
+    # (compute_displacements per segment, fragment.c:398-429)
+    vel_segments = None
+    if params.recompute_displacements and len(params.output_z) > 1:
+        vel_segments = [{k: np.asarray(v) for k, v in vel.items()}]
+        for zseg in params.output_z[1:]:
+            if scaledep:
+                g_s = growth_k_tables(cosmo, zseg, N)
+            else:
+                g_s = (jnp.float32(cosmo.GrowingMode(zseg)),
+                       jnp.float32(cosmo.GrowingMode_2LPT(zseg)),
+                       jnp.float32(cosmo.GrowingMode_3LPT_1(zseg)),
+                       jnp.float32(cosmo.GrowingMode_3LPT_2(zseg)))
+            vs = displacement_stage(kdensity, sd, g_s, N,
+                                    params.lpt_order, scaledep)
+            vel_segments.append({k: np.asarray(v) for k, v in vs.items()})
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
     return FmaxResult(products=products, smoothing=sm, grid=grid,
-                      kdensity=kdensity, timings=timings)
+                      kdensity=kdensity, vel_segments=vel_segments,
+                      timings=timings)
 
 
 def fmax_pdf(Fmax: np.ndarray, fname: str = None):

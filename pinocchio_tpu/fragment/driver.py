@@ -59,6 +59,23 @@ class _SweepInput(ctypes.Structure):
         ("tab_D1", _f64p),
         ("nout", ctypes.c_int32), ("outF", _f64p),
         ("maxg", ctypes.c_int32),
+        # scale-dependent growth block
+        ("sd_nk", ctypes.c_int32),
+        ("sd_logk_lo", ctypes.c_double), ("sd_dlogk", ctypes.c_double),
+        ("sd_w1", _f64p), ("sd_w2", _f64p),
+        ("sd_w31", _f64p), ("sd_w32", _f64p),
+        ("sd_dv1", _f64p), ("sd_dv2", _f64p),
+        ("sd_dv31", _f64p), ("sd_dv32", _f64p),
+        ("sd_rad_gm0", ctypes.c_double),
+        ("sd_nsmooth", ctypes.c_int32), ("sd_logk_displ", _f64p),
+        ("sd_logk_part", ctypes.c_double), ("sd_ipd", ctypes.c_double),
+        # RECOMPUTE_DISPLACEMENTS segment block
+        ("nseg", ctypes.c_int32), ("segF", _f64p),
+        ("seg_v1", ctypes.POINTER(_f32p)), ("seg_v2", ctypes.POINTER(_f32p)),
+        ("seg_v31", ctypes.POINTER(_f32p)),
+        ("seg_v32", ctypes.POINTER(_f32p)),
+        ("seg_w1", _f64p), ("seg_w2", _f64p),
+        ("seg_w31", _f64p), ("seg_w32", _f64p),
     ]
 
 
@@ -120,7 +137,7 @@ def fragment_parameters(order: int, use_sim_params: bool = False):
 
 
 def growth_tables(params: Params, cosmo: Cosmology, n: int = 8192,
-                  Fhi: float = 1500.0):
+                  Fhi: float = 1500.0, k_dens: float = None):
     """Uniform-log10(F) tables of the displacement weights, velocity growth
     factors and D(z) used inside the sweep (set_weight / set_obj_vel,
     build_groups.c:1411-1460)."""
@@ -132,8 +149,8 @@ def growth_tables(params: Params, cosmo: Cosmology, n: int = 8192,
     zl = params.zlast
     k = params.k_for_GM
 
-    D1 = cosmo.GrowingMode(z, k)
-    w1 = D1 / cosmo.GrowingMode(zl, k)
+    D1 = cosmo.GrowingMode(z, k_dens if k_dens is not None else k)
+    w1 = cosmo.GrowingMode(z, k) / cosmo.GrowingMode(zl, k)
     w2 = cosmo.GrowingMode_2LPT(z, k) / cosmo.GrowingMode_2LPT(zl, k)
     w31 = cosmo.GrowingMode_3LPT_1(z, k) / cosmo.GrowingMode_3LPT_1(zl, k)
     w32 = cosmo.GrowingMode_3LPT_2(z, k) / cosmo.GrowingMode_3LPT_2(zl, k)
@@ -149,6 +166,73 @@ def growth_tables(params: Params, cosmo: Cosmology, n: int = 8192,
                 dv1=dv1, dv2=dv2, dv31=dv31, dv32=dv32, D1=D1, rF=rF)
     return lo, dlog, {k_: np.ascontiguousarray(v, np.float64)
                       for k_, v in arrs.items()}
+
+
+def growth_tables_2d(params: Params, cosmo: Cosmology, n: int = 8192,
+                     Fhi: float = 1500.0):
+    """Scale-dependent variant: [NK_BINS, n] tables of the weights and
+    velocity factors over the (log10 k, log10 F) grid; the C sweep
+    interpolates bilinearly, reproducing set_weight + InterpolateGrowth
+    (build_groups.c:1411-1444, cosmo.c:1728-1755)."""
+    from ..cosmology import DELTALOGK, LOGKMIN, NK_BINS
+    Flast = params.Flast
+    lo = math.log10(Flast) - 1e-4
+    logF = np.linspace(lo, math.log10(Fhi), n)
+    z = 10.0 ** logF - 1.0
+    zl = params.zlast
+    ks = 10.0 ** (LOGKMIN + DELTALOGK * np.arange(NK_BINS))
+    out = {nm: np.zeros((NK_BINS, n)) for nm in
+           ("w1", "w2", "w31", "w32", "dv1", "dv2", "dv31", "dv32")}
+    for j, k in enumerate(ks):
+        fac = cosmo.Hubble(z) / (1.0 + z) * params.InterPartDist
+        out["w1"][j] = cosmo.GrowingMode(z, k) / cosmo.GrowingMode(zl, k)
+        out["w2"][j] = (cosmo.GrowingMode_2LPT(z, k)
+                        / cosmo.GrowingMode_2LPT(zl, k))
+        out["w31"][j] = (cosmo.GrowingMode_3LPT_1(z, k)
+                         / cosmo.GrowingMode_3LPT_1(zl, k))
+        out["w32"][j] = (cosmo.GrowingMode_3LPT_2(z, k)
+                         / cosmo.GrowingMode_3LPT_2(zl, k))
+        out["dv1"][j] = fac * cosmo.fomega(z, k)
+        out["dv2"][j] = fac * cosmo.fomega_2LPT(z, k)
+        out["dv31"][j] = fac * cosmo.fomega_3LPT_1(z, k)
+        out["dv32"][j] = fac * cosmo.fomega_3LPT_2(z, k)
+    return {k_: np.ascontiguousarray(v, np.float64)
+            for k_, v in out.items()}
+
+
+def _segment_weight_tables(params: Params, cosmo: Cosmology, scaledep_gm,
+                           n: int = 8192, Fhi: float = 1500.0):
+    """Per-segment displacement interpolation weights over log10 F (and the
+    NkBINS log10 k grid when scale-dependent): set_weight's two branches
+    (build_groups.c:1414-1442)."""
+    from ..cosmology import DELTALOGK, LOGKMIN, NK_BINS
+    lo = math.log10(params.Flast) - 1e-4
+    logF = np.linspace(lo, math.log10(Fhi), n)
+    z = 10.0 ** logF - 1.0
+    zs = params.output_z
+    nseg = len(zs)
+    if scaledep_gm is not None:
+        ks = 10.0 ** (LOGKMIN + DELTALOGK * np.arange(NK_BINS))
+        shape = (nseg, NK_BINS, n)
+    else:
+        ks = [params.k_for_GM]
+        shape = (nseg, 1, n)
+    out = {nm: np.zeros(shape) for nm in ("w1", "w2", "w31", "w32")}
+    fns = dict(w1=cosmo.GrowingMode, w2=cosmo.GrowingMode_2LPT,
+               w31=cosmo.GrowingMode_3LPT_1, w32=cosmo.GrowingMode_3LPT_2)
+    for j, k in enumerate(ks):
+        for nm, fn in fns.items():
+            D = fn(z, k)
+            for s_ in range(nseg):
+                if s_ == 0:
+                    out[nm][s_, j] = D / fn(zs[0], k)
+                else:
+                    D0 = fn(zs[s_ - 1], k)
+                    out[nm][s_, j] = (D - D0) / (fn(zs[s_], k) - D0)
+    if scaledep_gm is None:
+        out = {k_: v[:, 0, :] for k_, v in out.items()}
+    return {k_: np.ascontiguousarray(v, np.float64)
+            for k_, v in out.items()}
 
 
 def count_peaks(F: np.ndarray, Flast: float) -> int:
@@ -215,6 +299,7 @@ class FragmentResult:
 
 def run_fragmentation(params: Params, cosmo: Cosmology,
                       fmax_result: FmaxResult, plc_geom=None,
+                      scaledep_gm=None,
                       verbose: bool = True) -> FragmentResult:
     t_all = time.perf_counter()
     timings = {}
@@ -243,6 +328,18 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     v31 = gather_vel("v31")
     v32 = gather_vel("v32")
 
+    # RECOMPUTE_DISPLACEMENTS: gather every segment's displacement set
+    seg_vel = None
+    if fmax_result.vel_segments is not None:
+        def gather_seg(vs, key):
+            if key not in vs:
+                return None
+            return np.ascontiguousarray(
+                vs[key].reshape(3, -1)[:, sel].T, np.float32)
+        seg_vel = [{k: gather_seg(vs, k)
+                    for k in ("v1", "v2", "v31", "v32")}
+                   for vs in fmax_result.vel_segments]
+
     loc = np.full(N * N * N, -1, np.int32)
     loc[sel] = np.arange(n, dtype=np.int32)
     timings["sort"] = time.perf_counter() - t0
@@ -258,7 +355,11 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     # ---- tables and parameters ----
     fpar = fragment_parameters(min(2, params.lpt_order),
                                params.use_sim_params)
-    tab_lo, tab_dlog, tabs = growth_tables(params, cosmo)
+    k_dens_S = (scaledep_gm.k_GM_dens[-1] if scaledep_gm is not None
+                else None)
+    tab_lo, tab_dlog, tabs = growth_tables(params, cosmo, k_dens=k_dens_S)
+    sd_tabs = (growth_tables_2d(params, cosmo)
+               if scaledep_gm is not None else None)
     sigma_grid = math.sqrt(float(fmax_result.smoothing.true_variance[-1]))
     outF = np.ascontiguousarray(params.output_F, np.float64)
     nout = len(outF)
@@ -312,6 +413,60 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         tab_dv31=p(tabs["dv31"], _f64p), tab_dv32=p(tabs["dv32"], _f64p),
         tab_D1=p(tabs["D1"], _f64p),
         nout=nout, outF=p(outF, _f64p), maxg=maxg)
+
+    if scaledep_gm is not None:
+        from ..cosmology import DELTALOGK, LOGKMIN, NK_BINS
+        logk_displ = np.ascontiguousarray(
+            np.log10(scaledep_gm.k_GM_displ), np.float64)
+        si.sd_nk = NK_BINS
+        si.sd_logk_lo = LOGKMIN
+        si.sd_dlogk = DELTALOGK
+        si.sd_w1 = p(sd_tabs["w1"], _f64p)
+        si.sd_w2 = p(sd_tabs["w2"], _f64p)
+        si.sd_w31 = p(sd_tabs["w31"], _f64p)
+        si.sd_w32 = p(sd_tabs["w32"], _f64p)
+        si.sd_dv1 = p(sd_tabs["dv1"], _f64p)
+        si.sd_dv2 = p(sd_tabs["dv2"], _f64p)
+        si.sd_dv31 = p(sd_tabs["dv31"], _f64p)
+        si.sd_dv32 = p(sd_tabs["dv32"], _f64p)
+        si.sd_rad_gm0 = float(scaledep_gm.Rad_GM[0])
+        si.sd_nsmooth = len(logk_displ)
+        si.sd_logk_displ = p(logk_displ, _f64p)
+        si.sd_logk_part = float(logk_displ[-1])
+        si.sd_ipd = params.InterPartDist
+
+    # segment plumbing (RECOMPUTE_DISPLACEMENTS)
+    _seg_keepalive = []
+    if seg_vel is not None:
+        nseg = len(seg_vel)
+        segF = np.ascontiguousarray(params.output_F, np.float64)
+        assert nseg == len(segF)
+
+        def ptr_array(key):
+            arr_t = (_f32p * nseg)()
+            for i, vs in enumerate(seg_vel):
+                a = vs[key]
+                arr_t[i] = p(a, _f32p)
+                _seg_keepalive.append(a)
+            return arr_t
+
+        pv1, pv2 = ptr_array("v1"), ptr_array("v2")
+        pv31, pv32 = ptr_array("v31"), ptr_array("v32")
+        _seg_keepalive += [segF, pv1, pv2, pv31, pv32]
+        # per-segment weight tables: segment 0 = D(z)/D(z0); segment s =
+        # (D(z)-D(z_{s-1}))/(D(z_s)-D(z_{s-1})) (set_weight,
+        # build_groups.c:1414-1442)
+        segw = _segment_weight_tables(params, cosmo, scaledep_gm,
+                                      n=len(tabs["w1"]))
+        _seg_keepalive.append(segw)
+        si.nseg = nseg
+        si.segF = p(segF, _f64p)
+        si.seg_v1, si.seg_v2 = pv1, pv2
+        si.seg_v31, si.seg_v32 = pv31, pv32
+        si.seg_w1 = p(segw["w1"], _f64p)
+        si.seg_w2 = p(segw["w2"], _f64p)
+        si.seg_w31 = p(segw["w31"], _f64p)
+        si.seg_w32 = p(segw["w32"], _f64p)
 
     cb = _CaptureBuffers(name=p(cap_name, _u64p), mass=p(cap_mass, _i32p),
                          q=p(cap_q, _f32p), x=p(cap_x, _f32p),

@@ -78,6 +78,33 @@ typedef struct {
     const double *outF;     /* 1+z of each output, descending F order */
 
     int32_t maxg;           /* capacity of group arrays (Npeaks + 3) */
+
+    /* scale-dependent growth (SCALE_DEPENDENT): 2D weight tables over
+     * (log10 k on the NkBINS grid) x (log10 F); groups evaluate them at a
+     * mass-dependent effective scale (set_obj, build_groups.c:1361-1375),
+     * particles at k_GM_displ of the last radius. sd_nk = 0 -> off. */
+    int32_t sd_nk;
+    double sd_logk_lo, sd_dlogk;         /* NkBINS log10 k grid */
+    const double *sd_w1, *sd_w2, *sd_w31, *sd_w32;     /* [nk*tab_n] */
+    const double *sd_dv1, *sd_dv2, *sd_dv31, *sd_dv32; /* [nk*tab_n] */
+    double sd_rad_gm0;                   /* Rad_GM[0], Mpc */
+    int32_t sd_nsmooth;
+    const double *sd_logk_displ;         /* [nsmooth] log10 k_GM_displ */
+    double sd_logk_part;                 /* particles' log10 k */
+    double sd_ipd;                       /* InterPartDist */
+
+    /* RECOMPUTE_DISPLACEMENTS: segmented fragmentation.  Segment s covers
+     * F >= segF[s]; within segment s >= 1 positions interpolate between
+     * the displacement sets computed at the bracketing output redshifts
+     * (set_weight else-branch, build_groups.c:1427-1442; q2x,
+     * build_groups.c:1578-1592).  nseg = 0 -> single-segment mode using
+     * v1..v32 above. */
+    int32_t nseg;
+    const double *segF;                  /* [nseg] 1+z_s, descending */
+    const float **seg_v1, **seg_v2, **seg_v31, **seg_v32;  /* [nseg] */
+    /* per-segment weight tables, [nseg * tab_n] (or [nseg*sd_nk*tab_n]
+     * when sd_nk > 0) */
+    const double *seg_w1, *seg_w2, *seg_w31, *seg_w32;
 } sweep_input;
 
 /* group state (struct of arrays), allocated by the sweep */
@@ -85,6 +112,7 @@ typedef struct {
     int32_t *mass;
     float *q;               /* [maxg*3] Lagrangian CM, local grid coords */
     float *gv1, *gv2, *gv31, *gv32;   /* [maxg*3] mass-weighted mean */
+    float *pv1, *pv2, *pv31, *pv32;   /* [maxg*3] previous-segment mean */
     uint64_t *name;
     float *t_peak, *t_appear, *t_merge;
     int32_t *mass_at_merger, *merged_with;
@@ -177,14 +205,119 @@ static inline int32_t uf_find(int32_t g)
  * build_groups.c:1411-1444, first-segment branch) */
 typedef struct { double w1, w2, w31, w32; } weights_t;
 
-static inline weights_t get_weights(double F)
+/* bilinear lookup in a [nk x tab_n] table over (log10 k, log10 F);
+ * linear interpolation in log k mirrors InterpolateGrowth
+ * (cosmo.c:1742-1749) */
+static inline double tab2_interp(const double *tab, double logk, double F)
+{
+    double t = (log10(F) - I->tab_lo) / I->tab_dlog;
+    if (t < 0.0) t = 0.0;
+    int i = (int)t;
+    if (i >= I->tab_n - 1) { i = I->tab_n - 2; t = (double)(i + 1); }
+    double wf = t - i;
+    double u = (logk - I->sd_logk_lo) / I->sd_dlogk;
+    if (u < 0.0) u = 0.0;
+    int j = (int)u;
+    if (j >= I->sd_nk - 1) { j = I->sd_nk - 2; u = (double)(j + 1); }
+    double wk = u - j;
+    const double *r0 = tab + (int64_t)j * I->tab_n;
+    const double *r1 = r0 + I->tab_n;
+    double lo = r0[i] * (1.0 - wf) + r0[i + 1] * wf;
+    double hi = r1[i] * (1.0 - wf) + r1[i + 1] * wf;
+    return lo * (1.0 - wk) + hi * wk;
+}
+
+static inline weights_t weights_at(double F, double logk)
 {
     weights_t w;
-    w.w1 = tab_interp(I->tab_w1, F);
-    w.w2 = I->lpt_order >= 2 ? tab_interp(I->tab_w2, F) : 0.0;
-    w.w31 = I->lpt_order >= 3 ? tab_interp(I->tab_w31, F) : 0.0;
-    w.w32 = I->lpt_order >= 3 ? tab_interp(I->tab_w32, F) : 0.0;
+    if (I->sd_nk) {
+        w.w1 = tab2_interp(I->sd_w1, logk, F);
+        w.w2 = I->lpt_order >= 2 ? tab2_interp(I->sd_w2, logk, F) : 0.0;
+        w.w31 = I->lpt_order >= 3 ? tab2_interp(I->sd_w31, logk, F) : 0.0;
+        w.w32 = I->lpt_order >= 3 ? tab2_interp(I->sd_w32, logk, F) : 0.0;
+    } else {
+        w.w1 = tab_interp(I->tab_w1, F);
+        w.w2 = I->lpt_order >= 2 ? tab_interp(I->tab_w2, F) : 0.0;
+        w.w31 = I->lpt_order >= 3 ? tab_interp(I->tab_w31, F) : 0.0;
+        w.w32 = I->lpt_order >= 3 ? tab_interp(I->tab_w32, F) : 0.0;
+    }
     return w;
+}
+
+static int cur_seg = 0;     /* current fragmentation segment */
+
+/* per-segment weight lookup: row cur_seg of the segment tables */
+static inline double seg_tab_interp(const double *tab, double logk,
+                                    double F)
+{
+    if (I->sd_nk) {
+        const double *base = tab
+            + (int64_t)cur_seg * I->sd_nk * I->tab_n;
+        const double *save = I->sd_w1;  /* unused, keep signature simple */
+        (void)save;
+        /* reuse tab2_interp by offsetting into the segment's 2D slab */
+        double t = (log10(F) - I->tab_lo) / I->tab_dlog;
+        if (t < 0.0) t = 0.0;
+        int i = (int)t;
+        if (i >= I->tab_n - 1) { i = I->tab_n - 2; t = (double)(i + 1); }
+        double wf = t - i;
+        double u = (logk - I->sd_logk_lo) / I->sd_dlogk;
+        if (u < 0.0) u = 0.0;
+        int j = (int)u;
+        if (j >= I->sd_nk - 1) { j = I->sd_nk - 2; u = (double)(j + 1); }
+        double wk = u - j;
+        const double *r0 = base + (int64_t)j * I->tab_n;
+        const double *r1 = r0 + I->tab_n;
+        double lo = r0[i] * (1.0 - wf) + r0[i + 1] * wf;
+        double hi = r1[i] * (1.0 - wf) + r1[i + 1] * wf;
+        return lo * (1.0 - wk) + hi * wk;
+    }
+    return tab_interp(tab + (int64_t)cur_seg * I->tab_n, F);
+}
+
+static inline weights_t weights_at_seg(double F, double logk)
+{
+    if (!I->nseg)
+        return weights_at(F, logk);
+    weights_t w;
+    w.w1 = seg_tab_interp(I->seg_w1, logk, F);
+    w.w2 = I->lpt_order >= 2 ? seg_tab_interp(I->seg_w2, logk, F) : 0.0;
+    w.w31 = I->lpt_order >= 3 ? seg_tab_interp(I->seg_w31, logk, F) : 0.0;
+    w.w32 = I->lpt_order >= 3 ? seg_tab_interp(I->seg_w32, logk, F) : 0.0;
+    return w;
+}
+
+static inline weights_t get_weights(double F)
+{
+    return weights_at_seg(F, I->sd_nk ? I->sd_logk_part : 0.0);
+}
+
+/* velocity arrays of the current (and previous) segment */
+static inline const float *seg_arr(const float **seg, const float *flat)
+{
+    return I->nseg ? seg[cur_seg] : flat;
+}
+static inline const float *seg_arr_prev(const float **seg)
+{
+    return (I->nseg && cur_seg > 0) ? seg[cur_seg - 1] : NULL;
+}
+
+/* mass-dependent effective scale of a group (set_obj,
+ * build_groups.c:1361-1375): linear interpolation of log k over the
+ * Rad_GM ladder by the group's Lagrangian radius */
+static inline double group_logk(int32_t g)
+{
+    if (!I->sd_nk)
+        return 0.0;
+    double R = cbrt((double)G.mass[g] * 3.0 / 4.0 / M_PI) * I->sd_ipd;
+    double interp = (1.0 - R / I->sd_rad_gm0)
+                    * (double)(I->sd_nsmooth - 1);
+    if (interp < 0.0) interp = 0.0;
+    int idx = (int)interp;
+    if (idx >= I->sd_nsmooth - 1) idx = I->sd_nsmooth - 2;
+    double w = interp - idx;
+    return I->sd_logk_displ[idx] * (1.0 - w)
+         + I->sd_logk_displ[idx + 1] * w;
 }
 
 /* Eulerian position of a group along dim i at weights w, order `order`
@@ -192,11 +325,27 @@ static inline weights_t get_weights(double F)
 static inline double q2x_group(int i, int32_t g, const weights_t *w,
                                int order, int wrap)
 {
-    double p = G.q[3 * g + i] + w->w1 * G.gv1[3 * g + i];
-    if (order > 1 && I->lpt_order >= 2)
-        p += w->w2 * G.gv2[3 * g + i];
-    if (order > 2 && I->lpt_order >= 3)
-        p += w->w31 * G.gv31[3 * g + i] + w->w32 * G.gv32[3 * g + i];
+    double p;
+    if (I->nseg && cur_seg > 0) {
+        /* interpolate between the two segments' displacement sets
+         * (q2x, build_groups.c:1578-1592) */
+        p = G.q[3 * g + i] + (1.0 - w->w1) * G.pv1[3 * g + i]
+            + w->w1 * G.gv1[3 * g + i];
+        if (order > 1 && I->lpt_order >= 2)
+            p += (1.0 - w->w2) * G.pv2[3 * g + i]
+                + w->w2 * G.gv2[3 * g + i];
+        if (order > 2 && I->lpt_order >= 3)
+            p += (1.0 - w->w31) * G.pv31[3 * g + i]
+                + w->w31 * G.gv31[3 * g + i]
+                + (1.0 - w->w32) * G.pv32[3 * g + i]
+                + w->w32 * G.gv32[3 * g + i];
+    } else {
+        p = G.q[3 * g + i] + w->w1 * G.gv1[3 * g + i];
+        if (order > 1 && I->lpt_order >= 2)
+            p += w->w2 * G.gv2[3 * g + i];
+        if (order > 2 && I->lpt_order >= 3)
+            p += w->w31 * G.gv31[3 * g + i] + w->w32 * G.gv32[3 * g + i];
+    }
     if (wrap && I->pbc[i]) {
         double L = (double)I->L[i];
         if (p >= L) p -= L;
@@ -205,16 +354,35 @@ static inline double q2x_group(int i, int32_t g, const weights_t *w,
     return p;
 }
 
-static inline double q2x_point(int i, const double *q, const float *v1,
-                               const float *v2, const float *v31,
-                               const float *v32, const weights_t *w,
-                               int order, int wrap)
+static inline double q2x_point(int i, const double *q, int64_t ip,
+                               const weights_t *w, int order, int wrap)
 {
-    double p = q[i] + w->w1 * v1[i];
-    if (order > 1 && v2)
-        p += w->w2 * v2[i];
-    if (order > 2 && v31)
-        p += w->w31 * v31[i] + w->w32 * v32[i];
+    const float *v1 = seg_arr(I->seg_v1, I->v1) + 3 * ip;
+    const float *v2 = I->v2 || I->nseg
+        ? seg_arr(I->seg_v2, I->v2) + 3 * ip : NULL;
+    const float *v31 = (I->v31 || I->nseg) && I->lpt_order >= 3
+        ? seg_arr(I->seg_v31, I->v31) + 3 * ip : NULL;
+    const float *v32 = v31 ? seg_arr(I->seg_v32, I->v32) + 3 * ip : NULL;
+    double p;
+    if (I->nseg && cur_seg > 0) {
+        const float *p1 = seg_arr_prev(I->seg_v1) + 3 * ip;
+        const float *p2 = seg_arr_prev(I->seg_v2) + 3 * ip;
+        p = q[i] + (1.0 - w->w1) * p1[i] + w->w1 * v1[i];
+        if (order > 1 && I->lpt_order >= 2)
+            p += (1.0 - w->w2) * p2[i] + w->w2 * v2[i];
+        if (order > 2 && v31) {
+            const float *p31 = seg_arr_prev(I->seg_v31) + 3 * ip;
+            const float *p32 = seg_arr_prev(I->seg_v32) + 3 * ip;
+            p += (1.0 - w->w31) * p31[i] + w->w31 * v31[i]
+               + (1.0 - w->w32) * p32[i] + w->w32 * v32[i];
+        }
+    } else {
+        p = q[i] + w->w1 * v1[i];
+        if (order > 1 && I->lpt_order >= 2 && v2)
+            p += w->w2 * v2[i];
+        if (order > 2 && v31)
+            p += w->w31 * v31[i] + w->w32 * v32[i];
+    }
     if (wrap && I->pbc[i]) {
         double L = (double)I->L[i];
         if (p >= L) p -= L;
@@ -257,28 +425,22 @@ static inline void cond_accretion(int ix, int iy, int iz, int64_t ip,
                                   double *dd, double *rr)
 {
     weights_t w = get_weights(F);
+    weights_t wg = I->sd_nk ? weights_at_seg(F, group_logk(g)) : w;
     double q[3] = { ix + SHIFT, iy + SHIFT, iz + SHIFT };
-    const float *v1 = I->v1 + 3 * ip;
-    const float *v2 = I->v2 ? I->v2 + 3 * ip : NULL;
-    const float *v31 = I->v31 ? I->v31 + 3 * ip : NULL;
-    const float *v32 = I->v32 ? I->v32 + 3 * ip : NULL;
 
     *rr = virial2(G.mass[g], F, 1);
     *dd = 100.0 * (*rr);
 
-    double d = wrap_d(0, q2x_point(0, q, v1, v2, v31, v32, &w,
-                                   ORDER_FOR_GROUPS, 1)
-                      - q2x_group(0, g, &w, ORDER_FOR_GROUPS, 1));
+    double d = wrap_d(0, q2x_point(0, q, ip, &w, ORDER_FOR_GROUPS, 1)
+                      - q2x_group(0, g, &wg, ORDER_FOR_GROUPS, 1));
     double d2 = d * d;
     if (d2 < *rr) {
-        d = wrap_d(1, q2x_point(1, q, v1, v2, v31, v32, &w,
-                                ORDER_FOR_GROUPS, 1)
-                   - q2x_group(1, g, &w, ORDER_FOR_GROUPS, 1));
+        d = wrap_d(1, q2x_point(1, q, ip, &w, ORDER_FOR_GROUPS, 1)
+                   - q2x_group(1, g, &wg, ORDER_FOR_GROUPS, 1));
         d2 += d * d;
         if (d2 < *rr) {
-            d = wrap_d(2, q2x_point(2, q, v1, v2, v31, v32, &w,
-                                    ORDER_FOR_GROUPS, 1)
-                       - q2x_group(2, g, &w, ORDER_FOR_GROUPS, 1));
+            d = wrap_d(2, q2x_point(2, q, ip, &w, ORDER_FOR_GROUPS, 1)
+                       - q2x_group(2, g, &wg, ORDER_FOR_GROUPS, 1));
             d2 += d * d;
             if (d2 <= *rr)
                 *dd = d2;
@@ -292,18 +454,20 @@ static inline int cond_merging(double F, int32_t g1, int32_t g2)
     double r1 = virial2(G.mass[g1], F, 0);
     double r2 = virial2(G.mass[g2], F, 0);
     double rr = r1 > r2 ? r1 : r2;
-    weights_t w = get_weights(F);
+    weights_t w1 = I->sd_nk ? weights_at_seg(F, group_logk(g1))
+                            : get_weights(F);
+    weights_t w2 = I->sd_nk ? weights_at_seg(F, group_logk(g2)) : w1;
 
-    double d = wrap_d(0, q2x_group(0, g2, &w, ORDER_FOR_GROUPS, 1)
-                      - q2x_group(0, g1, &w, ORDER_FOR_GROUPS, 1));
+    double d = wrap_d(0, q2x_group(0, g2, &w2, ORDER_FOR_GROUPS, 1)
+                      - q2x_group(0, g1, &w1, ORDER_FOR_GROUPS, 1));
     double dd = d * d;
     if (dd < rr) {
-        d = wrap_d(1, q2x_group(1, g2, &w, ORDER_FOR_GROUPS, 1)
-                   - q2x_group(1, g1, &w, ORDER_FOR_GROUPS, 1));
+        d = wrap_d(1, q2x_group(1, g2, &w2, ORDER_FOR_GROUPS, 1)
+                   - q2x_group(1, g1, &w1, ORDER_FOR_GROUPS, 1));
         dd += d * d;
         if (dd < rr) {
-            d = wrap_d(2, q2x_group(2, g2, &w, ORDER_FOR_GROUPS, 1)
-                       - q2x_group(2, g1, &w, ORDER_FOR_GROUPS, 1));
+            d = wrap_d(2, q2x_group(2, g2, &w2, ORDER_FOR_GROUPS, 1)
+                       - q2x_group(2, g1, &w1, ORDER_FOR_GROUPS, 1));
             dd += d * d;
             if (dd <= rr)
                 return 1;
@@ -335,7 +499,7 @@ static void state_update(int32_t M1, double q1[3], float *vs1[4],
             if (q1[i] > L) q1[i] -= L;
             if (q1[i] < 0.0) q1[i] += L;
         }
-        for (int o = 0; o < 4; o++)
+        for (int o = 0; o < 8; o++)
             if (vs1[o])
                 vs1[o][i] = (float)((vs1[o][i] * M1 + vs2[o][i] * M2) / Mtot);
     }
@@ -349,16 +513,34 @@ static float *join_F_arr;                /* [n] F at which it joined */
 static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
                          double F)
 {
+    int has2 = I->v2 || I->nseg, has3 = (I->v31 != NULL)
+        || (I->nseg && I->lpt_order >= 3);
     double q1[3] = { G.q[3 * g], G.q[3 * g + 1], G.q[3 * g + 2] };
-    float *vs1[4] = { G.gv1 + 3 * g,
-                      I->v2 ? G.gv2 + 3 * g : NULL,
-                      I->v31 ? G.gv31 + 3 * g : NULL,
-                      I->v32 ? G.gv32 + 3 * g : NULL };
+    float *vs1[8] = { G.gv1 + 3 * g,
+                      has2 ? G.gv2 + 3 * g : NULL,
+                      has3 ? G.gv31 + 3 * g : NULL,
+                      has3 ? G.gv32 + 3 * g : NULL,
+                      G.pv1 ? G.pv1 + 3 * g : NULL,
+                      G.pv1 && has2 ? G.pv2 + 3 * g : NULL,
+                      G.pv1 && has3 ? G.pv31 + 3 * g : NULL,
+                      G.pv1 && has3 ? G.pv32 + 3 * g : NULL };
     double q2[3] = { ix + SHIFT, iy + SHIFT, iz + SHIFT };
-    const float *vs2[4] = { I->v1 + 3 * ip,
-                            I->v2 ? I->v2 + 3 * ip : NULL,
-                            I->v31 ? I->v31 + 3 * ip : NULL,
-                            I->v32 ? I->v32 + 3 * ip : NULL };
+    const float *zero3 = (const float[3]){0.f, 0.f, 0.f};
+    int prev_ok = I->nseg && cur_seg > 0;
+    const float *vs2[8] = {
+        seg_arr(I->seg_v1, I->v1) + 3 * ip,
+        has2 ? seg_arr(I->seg_v2, I->v2) + 3 * ip : NULL,
+        has3 ? seg_arr(I->seg_v31, I->v31) + 3 * ip : NULL,
+        has3 ? seg_arr(I->seg_v32, I->v32) + 3 * ip : NULL,
+        G.pv1 ? (prev_ok ? seg_arr_prev(I->seg_v1) + 3 * ip : zero3)
+              : NULL,
+        G.pv1 && has2
+            ? (prev_ok ? seg_arr_prev(I->seg_v2) + 3 * ip : zero3) : NULL,
+        G.pv1 && has3
+            ? (prev_ok ? seg_arr_prev(I->seg_v31) + 3 * ip : zero3) : NULL,
+        G.pv1 && has3
+            ? (prev_ok ? seg_arr_prev(I->seg_v32) + 3 * ip : zero3)
+            : NULL };
     state_update(G.mass[g], q1, vs1, 1, q2, vs2);
     for (int i = 0; i < 3; i++)
         G.q[3 * g + i] = (float)q1[i];
@@ -420,16 +602,26 @@ static void do_merge(int32_t g1, int32_t g2, double F)
     if (G.mass[g1] >= I->min_halo_mass && G.mass[g2] >= I->min_halo_mass)
         update_history(g1, g2, F);
 
+    int has2 = I->v2 || I->nseg, has3 = (I->v31 != NULL)
+        || (I->nseg && I->lpt_order >= 3);
     double q1[3] = { G.q[3 * g1], G.q[3 * g1 + 1], G.q[3 * g1 + 2] };
-    float *vs1[4] = { G.gv1 + 3 * g1,
-                      I->v2 ? G.gv2 + 3 * g1 : NULL,
-                      I->v31 ? G.gv31 + 3 * g1 : NULL,
-                      I->v32 ? G.gv32 + 3 * g1 : NULL };
+    float *vs1[8] = { G.gv1 + 3 * g1,
+                      has2 ? G.gv2 + 3 * g1 : NULL,
+                      has3 ? G.gv31 + 3 * g1 : NULL,
+                      has3 ? G.gv32 + 3 * g1 : NULL,
+                      G.pv1 ? G.pv1 + 3 * g1 : NULL,
+                      G.pv1 && has2 ? G.pv2 + 3 * g1 : NULL,
+                      G.pv1 && has3 ? G.pv31 + 3 * g1 : NULL,
+                      G.pv1 && has3 ? G.pv32 + 3 * g1 : NULL };
     double q2[3] = { G.q[3 * g2], G.q[3 * g2 + 1], G.q[3 * g2 + 2] };
-    const float *vs2[4] = { G.gv1 + 3 * g2,
-                            I->v2 ? G.gv2 + 3 * g2 : NULL,
-                            I->v31 ? G.gv31 + 3 * g2 : NULL,
-                            I->v32 ? G.gv32 + 3 * g2 : NULL };
+    const float *vs2[8] = { G.gv1 + 3 * g2,
+                            has2 ? G.gv2 + 3 * g2 : NULL,
+                            has3 ? G.gv31 + 3 * g2 : NULL,
+                            has3 ? G.gv32 + 3 * g2 : NULL,
+                            G.pv1 ? G.pv1 + 3 * g2 : NULL,
+                            G.pv1 && has2 ? G.pv2 + 3 * g2 : NULL,
+                            G.pv1 && has3 ? G.pv31 + 3 * g2 : NULL,
+                            G.pv1 && has3 ? G.pv32 + 3 * g2 : NULL };
     state_update(G.mass[g1], q1, vs1, G.mass[g2], q2, vs2);
     for (int i = 0; i < 3; i++)
         G.q[3 * g1 + i] = (float)q1[i];
@@ -457,6 +649,17 @@ static void capture_catalog(int iout, const capture_buffers *cap)
     for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++) {
         if (!G.alive[g] || !G.good[g] || G.mass[g] < I->min_halo_mass)
             continue;
+        if (I->sd_nk) {
+            double lk = group_logk(g);
+            w = weights_at_seg(Fout, lk);
+            dv1 = tab2_interp(I->sd_dv1, lk, Fout);
+            dv2 = I->lpt_order >= 2 ? tab2_interp(I->sd_dv2, lk, Fout)
+                                    : 0.0;
+            dv31 = I->lpt_order >= 3 ? tab2_interp(I->sd_dv31, lk, Fout)
+                                     : 0.0;
+            dv32 = I->lpt_order >= 3 ? tab2_interp(I->sd_dv32, lk, Fout)
+                                     : 0.0;
+        }
         int64_t row = base + cnt;
         cap->name[row] = G.name[g];
         cap->mass[row] = G.mass[g];
@@ -464,12 +667,27 @@ static void capture_catalog(int iout, const capture_buffers *cap)
             cap->q[3 * row + i] = G.q[3 * g + i];
             cap->x[3 * row + i] =
                 (float)q2x_group(i, g, &w, ORDER_FOR_CATALOG, 1);
-            double vv = G.gv1[3 * g + i] * dv1 * w.w1;
-            if (I->lpt_order >= 2)
-                vv += G.gv2[3 * g + i] * dv2 * w.w2;
-            if (I->lpt_order >= 3)
-                vv += G.gv31[3 * g + i] * dv31 * w.w31
-                    + G.gv32[3 * g + i] * dv32 * w.w32;
+            double vv;
+            if (I->nseg && cur_seg > 0) {
+                /* vel, build_groups.c:1627-1639 */
+                vv = (G.pv1[3 * g + i] * (1.0 - w.w1)
+                      + G.gv1[3 * g + i] * w.w1) * dv1;
+                if (I->lpt_order >= 2)
+                    vv += (G.pv2[3 * g + i] * (1.0 - w.w2)
+                           + G.gv2[3 * g + i] * w.w2) * dv2;
+                if (I->lpt_order >= 3)
+                    vv += (G.pv31[3 * g + i] * (1.0 - w.w31)
+                           + G.gv31[3 * g + i] * w.w31) * dv31
+                        + (G.pv32[3 * g + i] * (1.0 - w.w32)
+                           + G.gv32[3 * g + i] * w.w32) * dv32;
+            } else {
+                vv = G.gv1[3 * g + i] * dv1 * w.w1;
+                if (I->lpt_order >= 2)
+                    vv += G.gv2[3 * g + i] * dv2 * w.w2;
+                if (I->lpt_order >= 3)
+                    vv += G.gv31[3 * g + i] * dv31 * w.w31
+                        + G.gv32[3 * g + i] * dv32 * w.w32;
+            }
             cap->v[3 * row + i] = (float)vv;
         }
         cnt++;
@@ -487,7 +705,8 @@ static void capture_catalog(int iout, const capture_buffers *cap)
  * outside the cone shell */
 static double cond_plc(int32_t g, double F, int ir)
 {
-    weights_t w = get_weights(F);
+    weights_t w = I->sd_nk ? weights_at_seg(F, group_logk(g))
+                           : get_weights(F);
     double s = 0.0;
     for (int i = 0; i < 3; i++) {
         double d = q2x_group(i, g, &w, ORDER_FOR_CATALOG, 0)
@@ -524,11 +743,24 @@ static void store_plc(int32_t g, double F, int ir)
         *PLCOUT->overflow = 1;
         return;
     }
-    weights_t w = get_weights(F);
-    double dv1 = tab_interp(I->tab_dv1, F);
-    double dv2 = I->lpt_order >= 2 ? tab_interp(I->tab_dv2, F) : 0.0;
-    double dv31 = I->lpt_order >= 3 ? tab_interp(I->tab_dv31, F) : 0.0;
-    double dv32 = I->lpt_order >= 3 ? tab_interp(I->tab_dv32, F) : 0.0;
+    double lk = I->sd_nk ? group_logk(g) : 0.0;
+    weights_t w = I->sd_nk ? weights_at_seg(F, lk) : get_weights(F);
+    double dv1, dv2 = 0.0, dv31 = 0.0, dv32 = 0.0;
+    if (I->sd_nk) {
+        dv1 = tab2_interp(I->sd_dv1, lk, F);
+        if (I->lpt_order >= 2) dv2 = tab2_interp(I->sd_dv2, lk, F);
+        if (I->lpt_order >= 3) {
+            dv31 = tab2_interp(I->sd_dv31, lk, F);
+            dv32 = tab2_interp(I->sd_dv32, lk, F);
+        }
+    } else {
+        dv1 = tab_interp(I->tab_dv1, F);
+        if (I->lpt_order >= 2) dv2 = tab_interp(I->tab_dv2, F);
+        if (I->lpt_order >= 3) {
+            dv31 = tab_interp(I->tab_dv31, F);
+            dv32 = tab_interp(I->tab_dv32, F);
+        }
+    }
 
     double x[3], vv[3];
     for (int i = 0; i < 3; i++) {
@@ -537,12 +769,25 @@ static void store_plc(int32_t g, double F, int ir)
              + (double)I->stabl[i]
              - (PLC->center[i]
                 - (double)I->G[i] * (double)PLC->repl_ijk[3 * ir + i]));
-        vv[i] = G.gv1[3 * g + i] * dv1 * w.w1;
-        if (I->lpt_order >= 2)
-            vv[i] += G.gv2[3 * g + i] * dv2 * w.w2;
-        if (I->lpt_order >= 3)
-            vv[i] += G.gv31[3 * g + i] * dv31 * w.w31
-                + G.gv32[3 * g + i] * dv32 * w.w32;
+        if (I->nseg && cur_seg > 0) {
+            vv[i] = (G.pv1[3 * g + i] * (1.0 - w.w1)
+                     + G.gv1[3 * g + i] * w.w1) * dv1;
+            if (I->lpt_order >= 2)
+                vv[i] += (G.pv2[3 * g + i] * (1.0 - w.w2)
+                          + G.gv2[3 * g + i] * w.w2) * dv2;
+            if (I->lpt_order >= 3)
+                vv[i] += (G.pv31[3 * g + i] * (1.0 - w.w31)
+                          + G.gv31[3 * g + i] * w.w31) * dv31
+                       + (G.pv32[3 * g + i] * (1.0 - w.w32)
+                          + G.gv32[3 * g + i] * w.w32) * dv32;
+        } else {
+            vv[i] = G.gv1[3 * g + i] * dv1 * w.w1;
+            if (I->lpt_order >= 2)
+                vv[i] += G.gv2[3 * g + i] * dv2 * w.w2;
+            if (I->lpt_order >= 3)
+                vv[i] += G.gv31[3 * g + i] * dv31 * w.w31
+                    + G.gv32[3 * g + i] * dv32 * w.w32;
+        }
     }
     double rho = sqrt(x[0] * x[0] + x[1] * x[1] + x[2] * x[2]);
     double angle_deg = 90.0;
@@ -644,9 +889,20 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     G.mass = calloc(maxg, sizeof(int32_t));
     G.q = calloc(maxg * 3, sizeof(float));
     G.gv1 = calloc(maxg * 3, sizeof(float));
-    G.gv2 = in->v2 ? calloc(maxg * 3, sizeof(float)) : NULL;
-    G.gv31 = in->v31 ? calloc(maxg * 3, sizeof(float)) : NULL;
-    G.gv32 = in->v32 ? calloc(maxg * 3, sizeof(float)) : NULL;
+    {
+        int has2 = (in->v2 != NULL) || in->nseg;
+        int has3 = (in->v31 != NULL)
+            || (in->nseg && in->lpt_order >= 3);
+        G.gv2 = has2 ? calloc(maxg * 3, sizeof(float)) : NULL;
+        G.gv31 = has3 ? calloc(maxg * 3, sizeof(float)) : NULL;
+        G.gv32 = has3 ? calloc(maxg * 3, sizeof(float)) : NULL;
+        if (in->nseg) {
+            G.pv1 = calloc(maxg * 3, sizeof(float));
+            G.pv2 = has2 ? calloc(maxg * 3, sizeof(float)) : NULL;
+            G.pv31 = has3 ? calloc(maxg * 3, sizeof(float)) : NULL;
+            G.pv32 = has3 ? calloc(maxg * 3, sizeof(float)) : NULL;
+        }
+    }
     G.name = calloc(maxg, sizeof(uint64_t));
     G.t_peak = calloc(maxg, sizeof(float));
     G.t_appear = calloc(maxg, sizeof(float));
@@ -667,6 +923,7 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
         G.t_appear[g] = G.t_merge[g] = -1.0f;
     }
     G.ngroups = FILAMENT;
+    cur_seg = 0;
 
     group_of_particle_arr = out->group_of_particle;
     join_F_arr = calloc(in->n, sizeof(float));
@@ -788,11 +1045,32 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
             G.q[3 * g] = ix + SHIFT;
             G.q[3 * g + 1] = iy + SHIFT;
             G.q[3 * g + 2] = iz + SHIFT;
-            for (int i = 0; i < 3; i++) {
-                G.gv1[3 * g + i] = in->v1[3 * this_z + i];
-                if (G.gv2) G.gv2[3 * g + i] = in->v2[3 * this_z + i];
-                if (G.gv31) G.gv31[3 * g + i] = in->v31[3 * this_z + i];
-                if (G.gv32) G.gv32[3 * g + i] = in->v32[3 * this_z + i];
+            {
+                const float *a1 = seg_arr(in->seg_v1, in->v1);
+                const float *a2 = G.gv2 ? seg_arr(in->seg_v2, in->v2)
+                                        : NULL;
+                const float *a31 = G.gv31 ? seg_arr(in->seg_v31, in->v31)
+                                          : NULL;
+                const float *a32 = G.gv32 ? seg_arr(in->seg_v32, in->v32)
+                                          : NULL;
+                const float *p1 = seg_arr_prev(in->seg_v1);
+                const float *p2 = seg_arr_prev(in->seg_v2);
+                const float *p31 = seg_arr_prev(in->seg_v31);
+                const float *p32 = seg_arr_prev(in->seg_v32);
+                for (int i = 0; i < 3; i++) {
+                    G.gv1[3 * g + i] = a1[3 * this_z + i];
+                    if (a2) G.gv2[3 * g + i] = a2[3 * this_z + i];
+                    if (a31) G.gv31[3 * g + i] = a31[3 * this_z + i];
+                    if (a32) G.gv32[3 * g + i] = a32[3 * this_z + i];
+                    if (G.pv1)
+                        G.pv1[3 * g + i] = p1 ? p1[3 * this_z + i] : 0.f;
+                    if (G.pv2)
+                        G.pv2[3 * g + i] = p2 ? p2[3 * this_z + i] : 0.f;
+                    if (G.pv31)
+                        G.pv31[3 * g + i] = p31 ? p31[3 * this_z + i] : 0.f;
+                    if (G.pv32)
+                        G.pv32[3 * g + i] = p32 ? p32[3 * this_z + i] : 0.f;
+                }
             }
             G.mass[g] = 1;
             G.name[g] = particle_name;
@@ -942,6 +1220,70 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
                 }
         }
 
+        /* RECOMPUTE_DISPLACEMENTS: advance to the next segment when F
+         * drops below its boundary (fragment.c:394-442) and rebuild the
+         * group velocity means from the member particles with the new
+         * displacement sets (recompute_group_velocities,
+         * fragment.c:832-909) */
+        while (I->nseg && cur_seg < I->nseg - 1
+               && F < I->segF[cur_seg + 1]) {
+            cur_seg++;
+            const float *a1 = I->seg_v1[cur_seg];
+            const float *a2 = I->lpt_order >= 2 ? I->seg_v2[cur_seg]
+                                                : NULL;
+            const float *a31 = I->lpt_order >= 3 ? I->seg_v31[cur_seg]
+                                                 : NULL;
+            const float *a32 = I->lpt_order >= 3 ? I->seg_v32[cur_seg]
+                                                 : NULL;
+            const float *p1 = I->seg_v1[cur_seg - 1];
+            const float *p2 = I->lpt_order >= 2 ? I->seg_v2[cur_seg - 1]
+                                                : NULL;
+            const float *p31 = I->lpt_order >= 3 ? I->seg_v31[cur_seg - 1]
+                                                 : NULL;
+            const float *p32 = I->lpt_order >= 3 ? I->seg_v32[cur_seg - 1]
+                                                 : NULL;
+            memset(G.gv1, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.gv2) memset(G.gv2, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.gv31) memset(G.gv31, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.gv32) memset(G.gv32, 0, (size_t)maxg * 3 * sizeof(float));
+            memset(G.pv1, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.pv2) memset(G.pv2, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.pv31) memset(G.pv31, 0, (size_t)maxg * 3 * sizeof(float));
+            if (G.pv32) memset(G.pv32, 0, (size_t)maxg * 3 * sizeof(float));
+            /* accumulate sums per root group */
+            for (int64_t jz = 0; jz < this_z; jz++) {
+                int32_t g = group_of_particle_arr[jz];
+                if (g <= FILAMENT)
+                    continue;
+                g = uf_find(g);
+                for (int i = 0; i < 3; i++) {
+                    G.gv1[3 * g + i] += a1[3 * jz + i];
+                    if (a2) G.gv2[3 * g + i] += a2[3 * jz + i];
+                    if (a31) G.gv31[3 * g + i] += a31[3 * jz + i];
+                    if (a32) G.gv32[3 * g + i] += a32[3 * jz + i];
+                    G.pv1[3 * g + i] += p1[3 * jz + i];
+                    if (p2) G.pv2[3 * g + i] += p2[3 * jz + i];
+                    if (p31) G.pv31[3 * g + i] += p31[3 * jz + i];
+                    if (p32) G.pv32[3 * g + i] += p32[3 * jz + i];
+                }
+            }
+            for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++) {
+                if (!G.alive[g] || G.mass[g] == 0)
+                    continue;
+                float inv = 1.0f / (float)G.mass[g];
+                for (int i = 0; i < 3; i++) {
+                    G.gv1[3 * g + i] *= inv;
+                    if (G.gv2) G.gv2[3 * g + i] *= inv;
+                    if (G.gv31) G.gv31[3 * g + i] *= inv;
+                    if (G.gv32) G.gv32[3 * g + i] *= inv;
+                    G.pv1[3 * g + i] *= inv;
+                    if (G.pv2) G.pv2[3 * g + i] *= inv;
+                    if (G.pv31) G.pv31[3 * g + i] *= inv;
+                    if (G.pv32) G.pv32[3 * g + i] *= inv;
+                }
+            }
+        }
+
         /* PLC: final sweep on all halos once the cycle passes Fstop
          * (build_groups.c:783-869) */
         if (plc_on && PLC->Fstart > 0.0 && !plc_last_check_done &&
@@ -1025,6 +1367,7 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     free(G.Flast);
     free(G.mass); free(G.q); free(G.gv1);
     free(G.gv2); free(G.gv31); free(G.gv32);
+    free(G.pv1); free(G.pv2); free(G.pv31); free(G.pv32);
     free(G.name); free(G.t_peak); free(G.t_appear); free(G.t_merge);
     free(G.mass_at_merger); free(G.merged_with);
     free(G.halo_app); free(G.ll); free(G.good); free(G.alive);

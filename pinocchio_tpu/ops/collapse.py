@@ -158,6 +158,28 @@ def make_inverse_growth_table(cosmo, n: int = 4096):
             (np.float32(lo), np.float32(grid[1] - grid[0])))
 
 
+def make_inverse_table_from_curve(logD_curve, loga_grid, n: int = 4096):
+    """Uniform inverse table log10 D -> log10 a from an arbitrary
+    monotonic growth curve (used per smoothing radius when growth is
+    scale-dependent)."""
+    logD = np.asarray(logD_curve, dtype=np.float64)
+    loga = np.asarray(loga_grid, dtype=np.float64)
+    keep = np.concatenate([[True], np.diff(logD) > 0])
+    logD, loga = logD[keep], loga[keep]
+    lo = logD[0] - 10.0
+    hi = logD[-1] + 5.0
+    grid = np.linspace(lo, hi, n)
+    lo_slope = (loga[1] - loga[0]) / (logD[1] - logD[0])
+    hi_slope = (loga[-1] - loga[-2]) / (logD[-1] - logD[-2])
+    vals = np.interp(grid, logD, loga, left=np.nan, right=np.nan)
+    below = grid < logD[0]
+    above = grid > logD[-1]
+    vals[below] = loga[0] + (grid[below] - logD[0]) * lo_slope
+    vals[above] = loga[-1] + (grid[above] - logD[-1]) * hi_slope
+    return (np.asarray(vals, np.float32), np.float32(lo),
+            np.float32(grid[1] - grid[0]))
+
+
 def uniform_lookup(tab, lo, dx, x):
     """Linear interpolation on a uniform table via computed indices."""
     t = (x - lo) / dx

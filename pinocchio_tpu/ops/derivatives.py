@@ -83,6 +83,30 @@ def first_derivatives(kvector, growth, N: int):
 
 
 @partial(jax.jit, static_argnames=("N",))
+def first_derivatives_tab(kvector, gtab, glo, gdx, N: int):
+    """Like first_derivatives but with a per-mode growth factor from a
+    uniform table over log10 |k| (grid units): the scale-dependent growth
+    switch of compute_derivative (fmax-pfft.c:344-364).  NB the reference
+    evaluates GrowingMode at |k| in grid units (fmax-pfft.c:340,350) —
+    reproduced as-is."""
+    kx, ky, kz = _kvectors(N)
+    k2 = kx * kx + ky * ky + kz * kz
+    inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+    logk = 0.5 * jnp.log10(jnp.maximum(k2, 1e-12))
+    t = jnp.clip((logk - glo) / gdx, 0.0, gtab.shape[0] - 1.001)
+    i = t.astype(jnp.int32)
+    w = t - i.astype(jnp.float32)
+    growth = gtab[i] * (1.0 - w) + gtab[i + 1] * w
+    base = kvector * (1j * growth) * inv_k2.astype(jnp.float32)
+    return jnp.stack([jnp.fft.irfft(jnp.fft.ifft2(base * kx, axes=(0, 1)),
+                                    n=N, axis=2),
+                      jnp.fft.irfft(jnp.fft.ifft2(base * ky, axes=(0, 1)),
+                                    n=N, axis=2),
+                      jnp.fft.irfft(jnp.fft.ifft2(base * kz, axes=(0, 1)),
+                                    n=N, axis=2)])
+
+
+@partial(jax.jit, static_argnames=("N",))
 def density_field(kdensity, N: int):
     """Real-space linear density contrast (c2r of delta(k))."""
     return irfft3(kdensity, N)

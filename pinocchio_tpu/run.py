@@ -41,13 +41,25 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     from .plc import build_plc_geometry, write_plc_catalog, write_nz
     plc_geom = build_plc_geometry(params, cosmo, verbose=verbose)
 
+    # per-radius effective growth scales for scale-dependent cosmologies
+    scaledep_gm = None
+    if getattr(cosmo, "scale_dep", False):
+        from .fmax import Smoothing
+        from .scaledep import set_scaledep_gm
+        t0 = time.perf_counter()
+        scaledep_gm = set_scaledep_gm(
+            params, cosmo, Smoothing.build(params, cosmo),
+            io_cat.largest_halo_mass(params, cosmo), verbose=verbose)
+        timings["scaledep"] = time.perf_counter() - t0
+
     if params.ReadProductsFromDumps:
         # skip GenIC + fmax entirely (pinocchio.c:220-236)
         fmax_res = io_dumps.read_dumps(params, outdir)
         if verbose:
             print("[fmax] products read from dumps")
     else:
-        fmax_res = run_fmax(params, cosmo, verbose=verbose)
+        fmax_res = run_fmax(params, cosmo, scaledep_gm=scaledep_gm,
+                            verbose=verbose)
     timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
 
     if params.DumpProducts and write_outputs \
@@ -60,7 +72,8 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
 
     frag_res = run_fragmentation(params, cosmo, fmax_res,
-                                 plc_geom=plc_geom, verbose=verbose)
+                                 plc_geom=plc_geom,
+                                 scaledep_gm=scaledep_gm, verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
 
     written = []
