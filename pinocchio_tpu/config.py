@@ -92,6 +92,7 @@ class Params:
     # runtime backend controls (no analog in the reference)
     dtype: str = "float32"              # product float type (fp32 like reference default)
     work_dir: str = "."
+    subbox_tasks: int = 1               # fragmentation sub-domains (like NTasks)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])

@@ -235,14 +235,31 @@ def _segment_weight_tables(params: Params, cosmo: Cosmology, scaledep_gm,
             for k_, v in out.items()}
 
 
-def count_peaks(F: np.ndarray, Flast: float) -> int:
-    """Vectorized peak count over the full grid with PBCs
-    (count_peaks, fragment.c:605-706)."""
+def count_peaks(F: np.ndarray, Flast: float, pbc=(1, 1, 1)) -> int:
+    """Vectorized peak count (count_peaks, fragment.c:605-706): local
+    maxima of Fmax among stored particles; borders excluded along
+    non-periodic dims."""
     cond = F >= Flast
     for axis in range(3):
         for shift in (1, -1):
             cond &= F > np.roll(F, shift, axis=axis)
+    for axis in range(3):
+        if not pbc[axis]:
+            sl = [slice(None)] * 3
+            for edge in (0, -1):
+                sl[axis] = edge
+                cond[tuple(sl)] = False
     return int(cond.sum())
+
+
+@dataclass
+class SubboxGeometry:
+    """One fragmentation sub-domain (subbox_data, pinocchio.h:352-366)."""
+    L: tuple            # local grid-with-boundary dims (Lgwbl)
+    pbc: tuple
+    safe: tuple
+    stabl: tuple        # offset of the local grid in the global grid
+    G: tuple            # global grid dims
 
 
 @dataclass
@@ -299,16 +316,31 @@ class FragmentResult:
 
 def run_fragmentation(params: Params, cosmo: Cosmology,
                       fmax_result: FmaxResult, plc_geom=None,
-                      scaledep_gm=None,
+                      scaledep_gm=None, geom: SubboxGeometry = None,
                       verbose: bool = True) -> FragmentResult:
     t_all = time.perf_counter()
     timings = {}
     N = fmax_result.grid.N
     Flast = params.Flast
+    if geom is None:
+        geom = SubboxGeometry(L=(N, N, N), pbc=(1, 1, 1), safe=(0, 0, 0),
+                              stabl=(0, 0, 0), G=(N, N, N))
 
     # ---- gather products to host, select and sort (fragment.c:484-520) ----
     t0 = time.perf_counter()
-    F_grid = np.asarray(fmax_result.products.Fmax)
+    F_full = np.asarray(fmax_result.products.Fmax)
+    full_box = tuple(geom.L) == (N, N, N) and tuple(geom.stabl) == (0, 0, 0)
+    if full_box:
+        cell_sel = None          # identity extraction
+        F_grid = F_full
+    else:
+        # extract the sub-domain (with PBC-wrapped boundary layer) from
+        # the full grid: the 'distribute' step collapsed to a gather
+        idx = [(np.arange(geom.stabl[d], geom.stabl[d] + geom.L[d])
+                % geom.G[d]) for d in range(3)]
+        cell_sel = np.ravel_multi_index(
+            np.meshgrid(*idx, indexing="ij"), (N, N, N)).ravel()
+        F_grid = F_full.ravel()[cell_sel].reshape(geom.L)
     sel = np.flatnonzero(F_grid.ravel() >= Flast).astype(np.int64)
     Fsel = F_grid.ravel()[sel]
     order = np.argsort(-Fsel, kind="stable")
@@ -316,12 +348,13 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     n = len(sel)
     Fs = np.ascontiguousarray(Fsel[order], np.float32)
     pos = np.ascontiguousarray(sel, np.int32)
+    full_sel = sel if cell_sel is None else cell_sel[sel]
 
     def gather_vel(key):
         if key not in fmax_result.products.vel:
             return None
         v = np.asarray(fmax_result.products.vel[key]).reshape(3, -1)
-        return np.ascontiguousarray(v[:, sel].T, np.float32)
+        return np.ascontiguousarray(v[:, full_sel].T, np.float32)
 
     v1 = gather_vel("v1")
     v2 = gather_vel("v2")
@@ -335,18 +368,19 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             if key not in vs:
                 return None
             return np.ascontiguousarray(
-                vs[key].reshape(3, -1)[:, sel].T, np.float32)
+                vs[key].reshape(3, -1)[:, full_sel].T, np.float32)
         seg_vel = [{k: gather_seg(vs, k)
                     for k in ("v1", "v2", "v31", "v32")}
                    for vs in fmax_result.vel_segments]
 
-    loc = np.full(N * N * N, -1, np.int32)
+    ncells = int(np.prod(geom.L))
+    loc = np.full(ncells, -1, np.int32)
     loc[sel] = np.arange(n, dtype=np.int32)
     timings["sort"] = time.perf_counter() - t0
 
     # ---- peaks and capacity ----
     t0 = time.perf_counter()
-    npeaks = count_peaks(F_grid, Flast)
+    npeaks = count_peaks(F_grid, Flast, geom.pbc)
     maxg = npeaks + 3
     timings["peaks"] = time.perf_counter() - t0
     if verbose:
@@ -397,11 +431,11 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         v1=p(v1, _f32p), v2=p(v2, _f32p),
         v31=p(v31, _f32p), v32=p(v32, _f32p),
         loc=p(loc, _i32p),
-        L=(ctypes.c_int32 * 3)(N, N, N),
-        pbc=(ctypes.c_int32 * 3)(1, 1, 1),
-        safe=(ctypes.c_int32 * 3)(0, 0, 0),
-        stabl=(ctypes.c_int32 * 3)(0, 0, 0),
-        G=(ctypes.c_int32 * 3)(N, N, N),
+        L=(ctypes.c_int32 * 3)(*geom.L),
+        pbc=(ctypes.c_int32 * 3)(*geom.pbc),
+        safe=(ctypes.c_int32 * 3)(*geom.safe),
+        stabl=(ctypes.c_int32 * 3)(*geom.stabl),
+        G=(ctypes.c_int32 * 3)(*geom.G),
         f_m=fpar["f_m"], f_rm=fpar["f_rm"], espo=fpar["espo"],
         f_a=fpar["f_a"], f_ra=fpar["f_ra"], f_200=fpar["f_200"],
         sigmaD0=fpar["sigmaD0"], sigma_grid=sigma_grid,
@@ -539,15 +573,18 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                            f"(-2 = peak-capacity overflow)")
 
     catalogs = []
+    stabl_f = np.asarray(geom.stabl, np.float32)
+    Gf = np.asarray(geom.G, np.float32)
     for iout, z in enumerate(params.output_z):
         c = int(cap_count[iout])
         base = iout * maxg
+        q = cap_q[3 * base:3 * (base + c)].reshape(-1, 3) + stabl_f
+        x = cap_x[3 * base:3 * (base + c)].reshape(-1, 3) + stabl_f
         catalogs.append(CatalogSnapshot(
             z=z,
             name=cap_name[base:base + c].copy(),
             mass=cap_mass[base:base + c].copy(),
-            q=cap_q[3 * base:3 * (base + c)].reshape(-1, 3).copy(),
-            x=cap_x[3 * base:3 * (base + c)].reshape(-1, 3).copy(),
+            q=np.mod(q, Gf), x=np.mod(x, Gf),
             v=cap_v[3 * base:3 * (base + c)].reshape(-1, 3).copy()))
 
     ng = int(g_ngroups[0])

@@ -227,9 +227,13 @@ def build_histories(groups: GroupState, min_halo_mass: int):
     return trees
 
 
-def write_histories(params: Params, groups: GroupState,
+def write_histories(params: Params, groups,
                     directory: str = ".") -> str:
-    trees = build_histories(groups, params.MinHaloMass)
+    """groups: a GroupState or a list of them (one per sub-box)."""
+    group_list = groups if isinstance(groups, list) else [groups]
+    trees = []
+    for gs in group_list:
+        trees.extend(build_histories(gs, params.MinHaloMass))
     ntrees = len(trees)
     nbranch = sum(len(t) for t in trees)
     path = os.path.join(directory,

@@ -177,10 +177,12 @@ typedef struct {
 
 /* ------------------------------------------------------------------ */
 
-static const sweep_input *I;
-static const plc_input *PLC;
-static const plc_output *PLCOUT;
-static group_state G;
+/* per-sweep state: thread-local so concurrent sub-box sweeps (driven from
+ * a Python thread pool; the ctypes call releases the GIL) are isolated */
+static _Thread_local const sweep_input *I;
+static _Thread_local const plc_input *PLC;
+static _Thread_local const plc_output *PLCOUT;
+static _Thread_local group_state G;
 
 static inline double tab_interp(const double *tab, double F)
 {
@@ -244,7 +246,7 @@ static inline weights_t weights_at(double F, double logk)
     return w;
 }
 
-static int cur_seg = 0;     /* current fragmentation segment */
+static _Thread_local int cur_seg = 0;     /* current fragmentation segment */
 
 /* per-segment weight lookup: row cur_seg of the segment tables */
 static inline double seg_tab_interp(const double *tab, double logk,
@@ -507,8 +509,8 @@ static void state_update(int32_t M1, double q1[3], float *vs1[4],
 
 /* accrete particle (cell ix,iy,iz, index ip) onto group g at time F
  * (accretion, build_groups.c:1243-1281) */
-static int32_t *group_of_particle_arr;   /* [n] */
-static float *join_F_arr;                /* [n] F at which it joined */
+static _Thread_local int32_t *group_of_particle_arr;   /* [n] */
+static _Thread_local float *join_F_arr;  /* [n] F at which it joined */
 
 static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
                          double F)

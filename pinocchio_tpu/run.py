@@ -71,9 +71,18 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                  os.path.join(outdir,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
 
-    frag_res = run_fragmentation(params, cosmo, fmax_res,
-                                 plc_geom=plc_geom,
-                                 scaledep_gm=scaledep_gm, verbose=verbose)
+    if params.subbox_tasks > 1:
+        from .fragment.subbox import choose_nbox, run_fragmentation_multibox
+        largest = io_cat.largest_halo_mass(params, cosmo)
+        nbox = choose_nbox(params, cosmo, largest, params.subbox_tasks)
+        frag_res = run_fragmentation_multibox(
+            params, cosmo, fmax_res, nbox, plc_geom=plc_geom,
+            scaledep_gm=scaledep_gm, largest_mass=largest, verbose=verbose)
+    else:
+        frag_res = run_fragmentation(params, cosmo, fmax_res,
+                                     plc_geom=plc_geom,
+                                     scaledep_gm=scaledep_gm,
+                                     verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
 
     written = []
@@ -150,6 +159,8 @@ def main(argv=None):
                     help="override GridSize")
     ap.add_argument("--platform", default=None,
                     help="jax platform (cpu / axon)")
+    ap.add_argument("--subboxes", type=int, default=None,
+                    help="number of fragmentation sub-domains")
     args = ap.parse_args(argv)
 
     from .backend import setup
@@ -161,6 +172,8 @@ def main(argv=None):
     params = read_parameter_file(args.parameter_file, **overrides)
     if args.grid:
         params.GridSize = args.grid
+    if args.subboxes:
+        params.subbox_tasks = args.subboxes
     os.makedirs(args.outdir, exist_ok=True)
     if args.mode is not None:
         run_special_mode(params, args.mode, outdir=args.outdir)
