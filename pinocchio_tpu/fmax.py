@@ -129,6 +129,30 @@ def fmax_loop(kdensity, radii_grid, invgrow_tabs, invgrow_lo, invgrow_dx,
     return Fmax, Rmax, avgs, variances, sd
 
 
+@partial(jax.jit, static_argnames=("N", "nsmooth"))
+def fmax_loop_tab(kdensity, radii_grid, ct_tabs, ct_dv, ct_idx_map,
+                  ct_ampls, N: int, nsmooth: int):
+    """fmax_loop variant where collapse times come from per-radius
+    TABULATED_CT tables (ELL_SNG or tabulated classic)."""
+    Fmax0 = jnp.full((N, N, N), -10.0, jnp.float32)
+    Rmax0 = jnp.full((N, N, N), -1, jnp.int32)
+    sd0 = jnp.zeros((6, N, N, N), jnp.float32)
+
+    def body(carry, xs):
+        Fmax, Rmax, _ = carry
+        R_grid, ism, tab, ampl = xs
+        sd = derivatives.second_derivatives.__wrapped__(kdensity, R_grid, N)
+        Fmax, Rmax, d_avg, d_var = collapse.collapse_update_table.__wrapped__(
+            sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl)
+        return (Fmax, Rmax, sd), (d_avg, d_var)
+
+    xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32), ct_tabs,
+          ct_ampls)
+    (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
+        body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
+    return Fmax, Rmax, avgs, variances, sd
+
+
 @partial(jax.jit, static_argnames=("N", "order", "scaledep"))
 def displacement_stage(kdensity, sd, growths, N: int, order: int,
                        scaledep: bool = False):
@@ -208,8 +232,45 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
-    Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
-        kdensity, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
+    if params.ell_model != "classic":
+        # TABULATED_CT / ELL_SNG: build (or load) the per-radius tables
+        from .ops import tabulated
+        import os
+        model = "sng" if params.ell_model == "sng" else "classic"
+        ct = None
+        if params.CTtableFile not in ("none", ""):
+            try:
+                tabs = tabulated.read_ct_table_file(params.CTtableFile,
+                                                    params, sm)
+                ct = dict(tables=tabs,
+                          dv=tabulated.delta_sampling().astype(np.float32),
+                          idx_map=None, ampl=np.sqrt(sm.variance
+                                                     ).astype(np.float32))
+                aux = np.linspace(-tabulated.CT_RANGE_D,
+                                  tabulated.CT_RANGE_D, tabulated.AUX_N)
+                ct["idx_map"] = np.clip(
+                    np.searchsorted(ct["dv"], aux, side="right") - 1, 0,
+                    tabulated.CT_NBINS_D - 2).astype(np.int32)
+                if verbose:
+                    print(f"  collapse tables read from "
+                          f"{params.CTtableFile}")
+            except (OSError, ValueError):
+                ct = None
+        if ct is None:
+            if verbose:
+                print(f"  building {model} collapse tables for {sm.n} "
+                      f"radii")
+            ct = tabulated.build_ct_tables_all(cosmo, sm, model=model)
+            if params.CTtableFile not in ("none", ""):
+                tabulated.write_ct_table_file(params.CTtableFile, params,
+                                              sm, ct["tables"])
+        Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop_tab(
+            kdensity, radii_grid, jnp.asarray(ct["tables"]),
+            jnp.asarray(ct["dv"]), jnp.asarray(ct["idx_map"]),
+            jnp.asarray(ct["ampl"]), N, sm.n)
+    else:
+        Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
+            kdensity, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
     sm.true_variance[:] = np.asarray(d_vars)   # d2h sync
     timings["fmax_loop"] = time.perf_counter() - t0
     if verbose:

@@ -190,6 +190,24 @@ def uniform_lookup(tab, lo, dx, x):
 
 
 @partial(jax.jit, static_argnames=())
+def collapse_update_table(derivs, Fmax, Rmax, ismooth, ct_tab, ct_dv,
+                          ct_idx_map, ct_ampl):
+    """collapse_update variant for TABULATED_CT / ELL_SNG: F comes from
+    trilinear interpolation of the per-radius collapse-time table
+    (interpolate_collapse_time, collapse_times.c:1139-1221)."""
+    from . import tabulated
+    delta = derivs[0] + derivs[1] + derivs[2]
+    l1, l2, l3, fail = eigenvalues_descending(derivs)
+    F = tabulated.interpolate_F(ct_tab, ct_dv, ct_idx_map, ct_ampl,
+                                l1, l2, l3)
+    F = jnp.where(fail, -10.0, F)
+    upd = Fmax < F
+    Fmax = jnp.where(upd, F, Fmax)
+    Rmax = jnp.where(upd, ismooth, Rmax)
+    return Fmax, Rmax, jnp.mean(delta), jnp.mean(delta * delta)
+
+
+@partial(jax.jit, static_argnames=())
 def collapse_update(derivs, Fmax, Rmax, ismooth, invgrow_tab, invgrow_lo,
                     invgrow_dx):
     """One smoothing radius of compute_collapse_times
