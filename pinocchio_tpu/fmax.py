@@ -324,15 +324,17 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
 
 def fmax_pdf(Fmax: np.ndarray, fname: str = None):
-    """Histogram of Fmax (Fmax_PDF, fmax.c:509-550): 100 bins in
-    F in [0.9, 10.9]."""
-    bins = np.linspace(0.9, 10.9, 101)
-    hist, _ = np.histogram(np.asarray(Fmax).ravel(), bins=bins)
+    """Histogram of Fmax (Fmax_PDF, fmax.c:509-550): 210 bins of width
+    0.1 in F, counts, matching the reference file format."""
+    F = np.asarray(Fmax).ravel()
+    xF = np.clip((F * 10.0).astype(int), 0, 209)
+    hist = np.bincount(xF, minlength=210)
     if fname:
         with open(fname, "w") as fd:
-            fd.write("# PDF of Fmax\n# 1) F\n# 2) PDF\n#\n")
-            norm = hist.sum() * 0.1
-            for i in range(100):
-                fd.write(f" {0.5 * (bins[i] + bins[i + 1]):8.4f} "
-                         f"{hist[i] / norm:12.6g}\n")
+            fd.write(f"# Fmax PDF over {F.size} particles\n")
+            fd.write("# 1-2: F interval\n")
+            fd.write("# 3: number of particles in that interval\n#\n")
+            for i in range(210):
+                hi = 999.0 if i == 209 else (i + 1) / 10.0
+                fd.write(f" {i / 10.0:6.1f}   {hi:6.1f}  {hist[i]}\n")
     return hist

@@ -65,9 +65,14 @@ def eigenvalues_descending(d):
     arg = jnp.clip(_safe_div(2.0 * r, q * sq), -1.0, 1.0)
     t = jnp.arccos(arg)
     third = 1.0 / 3.0
-    x1 = -sq * jnp.cos(t * third) + mu1 * third
-    x2 = -sq * jnp.cos((t + 2.0 * np.pi) * third) + mu1 * third
-    x3 = -sq * jnp.cos((t + 4.0 * np.pi) * third) + mu1 * third
+    # cos((t + 2pi k)/3) for k=0,1,2 from one cos + one sqrt:
+    # t/3 in [0, pi/3] so sin(t/3) = sqrt(1 - cos^2) >= 0
+    c = jnp.cos(t * third)
+    sn = _safe_sqrt(1.0 - c * c)
+    HALF_SQRT3 = 0.8660254037844386
+    x1 = -sq * c + mu1 * third
+    x2 = -sq * (-0.5 * c - HALF_SQRT3 * sn) + mu1 * third
+    x3 = -sq * (-0.5 * c + HALF_SQRT3 * sn) + mu1 * third
 
     x1 = jnp.where(diagonal, d0, x1)
     x2 = jnp.where(diagonal, d1, x2)
@@ -107,13 +112,17 @@ def ell_classic(l1, l2, l3):
     ell_a = (-jnp.sign(r) * (sq1 + _safe_div(q, sq1)) - a1 / 3.0)
     ell_a = jnp.where(ell_a < 0.0, -0.1, ell_a)
 
-    # three real roots: smallest non-negative
+    # three real roots: smallest non-negative (same trig reduction as in
+    # eigenvalues_descending)
     sq2 = 2.0 * _safe_sqrt(q)
     t = jnp.arccos(jnp.clip(_safe_div(2.0 * r, q * sq2), -1.0, 1.0))
     third = 1.0 / 3.0
-    s1 = -sq2 * jnp.cos(t * third) - a1 * third
-    s2 = -sq2 * jnp.cos((t + 2.0 * np.pi) * third) - a1 * third
-    s3 = -sq2 * jnp.cos((t + 4.0 * np.pi) * third) - a1 * third
+    c = jnp.cos(t * third)
+    sn = _safe_sqrt(1.0 - c * c)
+    HALF_SQRT3 = 0.8660254037844386
+    s1 = -sq2 * c - a1 * third
+    s2 = -sq2 * (-0.5 * c - HALF_SQRT3 * sn) - a1 * third
+    s3 = -sq2 * (-0.5 * c + HALF_SQRT3 * sn) - a1 * third
     s1 = jnp.where(s1 < 0.0, BIG, s1)
     s2 = jnp.where(s2 < 0.0, BIG, s2)
     s3 = jnp.where(s3 < 0.0, BIG, s3)
