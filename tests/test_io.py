@@ -101,3 +101,38 @@ def test_binary_catalog_roundtrip_via_reader(hmf_validation_params,
     rec = read_catalog(path)
     assert (rec["name"] == snap.name).all()
     assert (rec["n"] == snap.mass).all()
+
+
+def test_fits_roundtrip(tmp_path):
+    from pinocchio_tpu.io.fits import read_fits, write_fits
+    rng = np.random.default_rng(5)
+    rec = np.zeros(17, dtype=[("name", "<u8"), ("M", "<f4"),
+                              ("x", "<f4", 3), ("n", "<i4")])
+    rec["name"] = rng.integers(0, 2 ** 50, 17)
+    rec["M"] = rng.uniform(1e12, 1e15, 17)
+    rec["x"] = rng.uniform(0, 500, (17, 3))
+    rec["n"] = rng.integers(10, 500, 17)
+    path = str(tmp_path / "t.fits")
+    write_fits(path, [("CATALOG", rec, [("NHALOS", 17, "count")])])
+    # FITS structural invariants: 2880-byte blocks, SIMPLE card first
+    raw = open(path, "rb").read()
+    assert len(raw) % 2880 == 0
+    assert raw[:6] == b"SIMPLE"
+    exts = read_fits(path)
+    assert exts[0][0] == "CATALOG"
+    out = exts[0][2]
+    assert (out["name"] == rec["name"]).all()
+    np.testing.assert_allclose(out["x"], rec["x"], rtol=1e-6)
+    assert exts[0][1]["NHALOS"] == 17
+
+
+def test_fits_converter_on_reference_catalog(tmp_path):
+    import shutil
+    from pinocchio_tpu.io.fits import convert_catalog_to_fits, read_fits
+    src = ("/root/reference/HMF_Validation/"
+           "pinocchio.0.0000.test.catalog.out")
+    dst = str(tmp_path / "pinocchio.0.0000.test.catalog.out")
+    shutil.copy(src, dst)
+    p = convert_catalog_to_fits(dst)
+    exts = read_fits(p)
+    assert exts[0][1]["NAXIS2"] == 8707
