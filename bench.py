@@ -60,16 +60,15 @@ def main():
     sm = Smoothing.build(params, cosmo)
     kden = generate_kdensity(grid, cosmo, params.RandomSeed)
     kden.block_until_ready()
-    tab, (lo, dx) = collapse.make_inverse_growth_table(cosmo)
+    pack = collapse.make_inverse_growth_fit(cosmo)
 
     N = args.grid
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
-    ig_tab = jnp.tile(tab[None, :], (sm.n, 1))
-    ig_lo = jnp.full((sm.n,), lo, jnp.float32)
-    ig_dx = jnp.full((sm.n,), dx, jnp.float32)
+    import numpy as _np
+    ig_packs = jnp.asarray(_np.tile(pack[None, :], (sm.n, 1)))
 
     def collapse_phase(kden):
-        out = fmax_loop(kden, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
+        out = fmax_loop(kden, radii_grid, ig_packs, N, sm.n)
         # a device->host transfer is the only reliable sync on the
         # tunneled TPU backend (block_until_ready returns early there)
         np.asarray(out[3])

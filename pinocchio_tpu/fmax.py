@@ -91,8 +91,7 @@ class FmaxResult:
 
 
 @partial(jax.jit, static_argnames=("N", "nsmooth"))
-def fmax_loop(kdensity, radii_grid, invgrow_tabs, invgrow_lo, invgrow_dx,
-              N: int, nsmooth: int):
+def fmax_loop(kdensity, radii_grid, invgrow_packs, N: int, nsmooth: int):
     """The full smoothing-radius cycle (fmax.c:66-150) as ONE device
     program: a lax.scan over radii whose body does the 6 derivative FFTs +
     the collapse update.
@@ -116,14 +115,13 @@ def fmax_loop(kdensity, radii_grid, invgrow_tabs, invgrow_lo, invgrow_dx,
 
     def body(carry, xs):
         Fmax, Rmax, _ = carry
-        R_grid, ism, tab, lo, dx = xs
+        R_grid, ism, pack = xs
         sd = derivatives.second_derivatives.__wrapped__(kdensity, R_grid, N)
         Fmax, Rmax, d_avg, d_var = collapse.collapse_update.__wrapped__(
-            sd, Fmax, Rmax, ism, tab, lo, dx)
+            sd, Fmax, Rmax, ism, pack)
         return (Fmax, Rmax, sd), (d_avg, d_var)
 
-    xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32),
-          invgrow_tabs, invgrow_lo, invgrow_dx)
+    xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32), invgrow_packs)
     (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
         body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
     return Fmax, Rmax, avgs, variances, sd
@@ -217,17 +215,13 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     # radius inverts the smoothed density's effective growth
     # (InverseGrowingMode, cosmo.c:1822-1832)
     if scaledep_gm is not None:
-        rows = [collapse.make_inverse_table_from_curve(
+        packs = np.stack([collapse.fit_inverse_growth(
             scaledep_gm.invgrow_logD[i], scaledep_gm.loga_grid)
-            for i in range(sm.n)]
-        ig_tab = jnp.asarray(np.stack([r[0] for r in rows]))
-        ig_lo = jnp.asarray(np.array([r[1] for r in rows]))
-        ig_dx = jnp.asarray(np.array([r[2] for r in rows]))
+            for i in range(sm.n)])
     else:
-        tab, (lo, dx) = collapse.make_inverse_growth_table(cosmo)
-        ig_tab = jnp.tile(tab[None, :], (sm.n, 1))
-        ig_lo = jnp.full((sm.n,), lo, jnp.float32)
-        ig_dx = jnp.full((sm.n,), dx, jnp.float32)
+        packs = np.tile(collapse.make_inverse_growth_fit(cosmo)[None, :],
+                        (sm.n, 1))
+    ig_packs = jnp.asarray(packs)
 
     # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
@@ -270,7 +264,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
             jnp.asarray(ct["ampl"]), N, sm.n)
     else:
         Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
-            kdensity, radii_grid, ig_tab, ig_lo, ig_dx, N, sm.n)
+            kdensity, radii_grid, ig_packs, N, sm.n)
     sm.true_variance[:] = np.asarray(d_vars)   # d2h sync
     timings["fmax_loop"] = time.perf_counter() - t0
     if verbose:

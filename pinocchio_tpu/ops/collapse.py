@@ -198,6 +198,59 @@ def uniform_lookup(tab, lo, dx, x):
     return tab[i] * (1.0 - w) + tab[i + 1] * w
 
 
+# ------------------------------------------------------------------
+# polynomial inverse growth: dynamic gathers are ~6x the cost of the whole
+# eigenvalue+ellipsoid math on the TPU VPU, so the smooth log10 a(log10 D)
+# curve is fit once on the host and evaluated as a static-indexed Horner
+# polynomial, with the reference's linear extrapolation outside the fit
+# window (my_spline_eval, cosmo.c:2016-2027)
+# ------------------------------------------------------------------
+
+INVGROW_DEG = 16
+INVGROW_PACK = INVGROW_DEG + 1 + 6     # coeffs + lo,hi + 2 linear tails
+
+
+def fit_inverse_growth(logD_curve, loga_grid) -> np.ndarray:
+    """Packed fp32 parameters [coeffs(deg+1 desc), lo, hi, a_lo, b_lo,
+    a_hi, b_hi] such that log10 a(x) = poly(x) on [lo, hi] and the linear
+    tails continue the curve outside."""
+    logD = np.asarray(logD_curve, np.float64)
+    loga = np.asarray(loga_grid, np.float64)
+    keep = np.concatenate([[True], np.diff(logD) > 0])
+    logD, loga = logD[keep], loga[keep]
+    lo, hi = logD[0], logD[-1]
+    # dense resample, fit in normalized t in [-1, 1] (fp32-stable Horner)
+    xs = np.linspace(lo, hi, 4096)
+    ys = np.interp(xs, logD, loga)
+    ts = (2.0 * xs - (lo + hi)) / (hi - lo)
+    coeffs = np.polynomial.chebyshev.chebfit(ts, ys, INVGROW_DEG)
+    poly = np.polynomial.chebyshev.cheb2poly(coeffs)[::-1]  # descending
+    a_lo = (loga[1] - loga[0]) / (logD[1] - logD[0])
+    b_lo = loga[0] - a_lo * lo
+    a_hi = (loga[-1] - loga[-2]) / (logD[-1] - logD[-2])
+    b_hi = loga[-1] - a_hi * hi
+    out = np.concatenate([poly, [lo, hi, a_lo, b_lo, a_hi, b_hi]])
+    return out.astype(np.float32)
+
+
+def make_inverse_growth_fit(cosmo) -> np.ndarray:
+    return fit_inverse_growth(cosmo.sp_grow1.y, cosmo.sp_grow1.x)
+
+
+def eval_inverse_growth(pack, x):
+    """log10 a at log10 D = x from a packed fit (vector `pack` indexed
+    statically: no gathers)."""
+    lo = pack[INVGROW_DEG + 1]
+    hi = pack[INVGROW_DEG + 2]
+    t = jnp.clip((2.0 * x - (lo + hi)) / (hi - lo), -1.0, 1.0)
+    acc = pack[0] * jnp.ones_like(x)
+    for k in range(1, INVGROW_DEG + 1):
+        acc = acc * t + pack[k]
+    below = pack[INVGROW_DEG + 3] * x + pack[INVGROW_DEG + 4]
+    above = pack[INVGROW_DEG + 5] * x + pack[INVGROW_DEG + 6]
+    return jnp.where(x < lo, below, jnp.where(x > hi, above, acc))
+
+
 @partial(jax.jit, static_argnames=())
 def collapse_update_table(derivs, Fmax, Rmax, ismooth, ct_tab, ct_dv,
                           ct_idx_map, ct_ampl):
@@ -217,20 +270,21 @@ def collapse_update_table(derivs, Fmax, Rmax, ismooth, ct_tab, ct_dv,
 
 
 @partial(jax.jit, static_argnames=())
-def collapse_update(derivs, Fmax, Rmax, ismooth, invgrow_tab, invgrow_lo,
-                    invgrow_dx):
+def collapse_update(derivs, Fmax, Rmax, ismooth, invgrow_pack):
     """One smoothing radius of compute_collapse_times
     (collapse_times.c:431-673): new collapse times F from the Hessian stack
     [6, N, N, N], running max into (Fmax, Rmax), plus the delta stats.
 
+    invgrow_pack: polynomial inverse-growth fit (fit_inverse_growth) —
+    a dynamic table gather here costs 6x the rest of the kernel on TPU.
     Returns (Fmax, Rmax, mean_delta, mean_delta_sq).
     """
     delta = derivs[0] + derivs[1] + derivs[2]
     l1, l2, l3, fail = eigenvalues_descending(derivs)
     bc = ell_classic(l1, l2, l3)
-    # F = 1 + z_c = 10^-log10(a_c); a_c from the uniform inverse-growth table
-    loga_c = uniform_lookup(invgrow_tab, invgrow_lo, invgrow_dx,
-                            jnp.log10(jnp.maximum(bc, 1e-30)))
+    # F = 1 + z_c = 10^-log10(a_c)
+    loga_c = eval_inverse_growth(invgrow_pack,
+                                 jnp.log10(jnp.maximum(bc, 1e-30)))
     F = jnp.where(bc > 0.0, jnp.exp2(-3.321928094887362 * loga_c), 0.0)
     F = jnp.where(fail, -10.0, F)
 

@@ -26,10 +26,9 @@ def build_fmax_step(mesh: Mesh, N: int):
     collapse-time update, all sharded over the mesh."""
     second = pfft.distributed_second_derivatives(mesh, N)
 
-    def step(kden, Fmax, Rmax, R_grid, ismooth, tab, lo, dx):
+    def step(kden, Fmax, Rmax, R_grid, ismooth, pack):
         sd = second(kden, R_grid)
-        return collapse.collapse_update(sd, Fmax, Rmax, ismooth,
-                                        tab, lo, dx)
+        return collapse.collapse_update(sd, Fmax, Rmax, ismooth, pack)
 
     return jax.jit(step)
 
@@ -56,12 +55,13 @@ def demo_step(mesh: Mesh, N: int = 32, seed: int = 1):
     Fmax = jax.device_put(jnp.full((N, N, N), -10.0, jnp.float32), rshard)
     Rmax = jax.device_put(jnp.full((N, N, N), -1, jnp.int32), rshard)
 
-    # linear-growth table for a flat LCDM-ish background (D ~ a)
-    tab = jnp.linspace(-25.0, 20.0, 4096)
-    lo, dx = jnp.float32(-25.0), jnp.float32(45.0 / 4095)
+    # linear-growth inverse fit for a D ~ a background
+    from ..ops.collapse import fit_inverse_growth
+    la = np.linspace(-8.0, 1.0, 256)
+    pack = jnp.asarray(fit_inverse_growth(la, la))
 
     step = build_fmax_step(mesh, N)
     Fmax, Rmax, d_avg, d_var = step(kden, Fmax, Rmax, jnp.float32(2.0),
-                                    jnp.int32(0), tab, lo, dx)
+                                    jnp.int32(0), pack)
     disp = build_displacement_step(mesh, N)(kden, jnp.float32(1.0))
     return Fmax, Rmax, disp

@@ -130,6 +130,20 @@ def run_special_mode(params: Params, mode: int, outdir: str = ".",
     import numpy as np
 
     cosmo = Cosmology(params)
+    if mode == 1:
+        # write the collapse-time table only (pinocchio.c:100-133)
+        from .fmax import Smoothing
+        from .ops import tabulated
+        sm = Smoothing.build(params, cosmo)
+        model = "sng" if params.ell_model == "sng" else "classic"
+        ct = tabulated.build_ct_tables_all(cosmo, sm, model=model)
+        path = params.CTtableFile if params.CTtableFile not in ("none", "") \
+            else os.path.join(outdir,
+                              f"pinocchio.{params.RunFlag}.CTtable.out")
+        tabulated.write_ct_table_file(path, params, sm, ct["tables"])
+        if verbose:
+            print(f"collapse-time table written to {path}")
+        return path
     if mode == 2:
         from .grids import Grid
         from .ic import generate_kdensity
