@@ -86,6 +86,8 @@ class Params:
     read_pk_table: bool = False          # -DREAD_PK_TABLE
     recompute_displacements: bool = False
     norad: bool = False                  # -DNORADIATION
+    mod_grav_fr: bool = False            # -DMOD_GRAV_FR f(R) gravity
+    fr0: float = 1.e-8                   # -DFR0
     use_sim_params: bool = False         # -DUSE_SIM_PARAMS calibration set
     snapshot: bool = False               # -DSNAPSHOT products (zacc, group ID)
 

@@ -115,6 +115,8 @@ class Cosmology:
         self.scale_dep = False
         if p.scale_dependent and self.WhichSpectrum == 5:
             self._init_scaledep_from_camb()
+        elif p.mod_grav_fr:
+            self._init_scaledep_from_fr()
         self.PkNorm = 1.0
         self._normalize_power_spectrum()
         # Gaussian-window variance drives the smoothing ladder
@@ -214,6 +216,96 @@ class Cosmology:
             E2 += fac / a3
             dE2 += -3.0 * (1.0 + w) * fac / a4
         return dE2 / E2
+
+    # ------------------------------------------------------------------
+    # f(R) modified gravity: scale-dependent growth from the modified ODE
+    # (mu(a,k) cosmo.c:598-606; f(R) system cosmo.c:720-752,
+    # Moretti et al. 2019)
+    # ------------------------------------------------------------------
+    def _mu_fr(self, a, k):
+        p = self.p
+        H_over_c = 100.0 / SPEEDOFLIGHT
+        B1 = p.Omega0 / a ** 3 + 4.0 * p.OmegaLambda
+        B2 = p.Omega0 + 4.0 * p.OmegaLambda
+        emme = 0.5 * H_over_c ** 2 * B1 ** 3 / (B2 ** 2 * p.fr0)
+        return 1.0 + k * k / 3.0 / (k * k + a * a * emme)
+
+    def _growth_rhs_fr(self, a, y, k):
+        """8-component growth system at one wavenumber with the f(R)
+        force modification; 3rd order stays LCDM (cosmo.c:739-748)."""
+        p = self.p
+        E2 = self._E2_of_a(a)
+        a1 = -(3.0 / a + 0.5 * self._dlnE2_da(a))
+        b1 = 1.5 * p.Omega0 / (E2 * a ** 5)
+        H_over_c = 100.0 / SPEEDOFLIGHT
+        B1 = p.Omega0 + 4.0 * p.OmegaLambda
+        B2 = p.Omega0 / a ** 3 + 4.0 * p.OmegaLambda
+        mu = self._mu_fr(a, k)
+        PI1 = k * k / a / a + 0.5 * H_over_c ** 2 * B2 ** 3             / (B1 ** 2 * p.fr0)
+        # NB reproduced as in cosmo.c:736 (the '+' before pow is the
+        # reference's expression)
+        PI2 = k * k / a / a / 2.0 + 0.5 * H_over_c ** 2             + B2 ** 3 / (B1 ** 2 * p.fr0)
+        M2 = (p.Omega0 * H_over_c ** 2 * k * k
+              * (1.5 * H_over_c / p.fr0) ** 2 * B2 ** 5 / B1 ** 4
+              / (9.0 * a ** 5))
+        dD1, D1, dD2, D2, dD31, D31, dD32, D32 = y
+        out = np.empty(8)
+        out[0] = a1 * dD1 + mu * b1 * D1
+        out[1] = dD1
+        out[2] = (a1 * dD2 + mu * b1 * D2
+                  - (mu - M2 / PI1 / PI2 / PI2) * b1 * D1 * D1)
+        out[3] = dD2
+        out[4] = a1 * dD31 + b1 * D31 - 2.0 * b1 * D1 ** 3
+        out[5] = dD31
+        out[6] = (a1 * dD32 + b1 * D32 - 2.0 * b1 * D1 * D2
+                  + 2.0 * b1 * D1 ** 3)
+        out[7] = dD32
+        return out
+
+    def _init_scaledep_from_fr(self):
+        """Per-k-bin growth for f(R): k=0 for the first bin like the
+        reference (cosmo.c:729-734), normalized by the k=0 D1 today."""
+        agrid = 10.0 ** self._loga_grid
+        x1 = 10.0 ** (LOG_AMIN - 2.0)
+        today = int(np.argmax(agrid >= 1.0))
+        g = {o: np.zeros((NK_BINS, NBINS)) for o in (1, 2, 31, 32)}
+        f = {o: np.zeros((NK_BINS, NBINS)) for o in (1, 2, 31, 32)}
+        norm = None
+        for j in range(NK_BINS):
+            k = 0.0 if j == 0 else 10.0 ** (LOGKMIN + j * DELTALOGK)
+            y0 = np.array([1.0, x1, -6.0 / 7.0 * x1, -3.0 / 7.0 * x1 * x1,
+                           -x1 * x1, -x1 ** 3 / 3.0,
+                           10.0 / 7.0 * x1 * x1, 10.0 / 21.0 * x1 ** 3])
+            sol = solve_ivp(lambda a, y: self._growth_rhs_fr(a, y, k),
+                            (x1, agrid[-1]), y0, method="RK45",
+                            t_eval=agrid, rtol=1e-8, atol=1e-8)
+            Y = sol.y
+            g[1][j] = Y[1]
+            g[2][j] = -Y[3]
+            g[31][j] = -Y[5] / 3.0
+            g[32][j] = Y[7] / 4.0
+            f[1][j] = agrid * Y[0] / Y[1]
+            f[2][j] = agrid * Y[2] / Y[3]
+            f[31][j] = agrid * Y[4] / Y[5]
+            f[32][j] = agrid * Y[6] / Y[7]
+            if j == 0:
+                norm = g[1][0][today]
+        for j in range(NK_BINS):
+            g[1][j] /= norm
+            g[2][j] /= norm ** 2
+            g[31][j] /= norm ** 3
+            g[32][j] /= norm ** 3
+        self.sd_grow = g
+        self.sd_fomega = f
+        self._sd_spl_grow = {
+            o: [_Spline(self._loga_grid, np.log10(g[o][j]))
+                for j in range(NK_BINS)] for o in (1, 2, 31, 32)}
+        self._sd_spl_fom = {
+            o: [_Spline(self._loga_grid, f[o][j])
+                for j in range(NK_BINS)] for o in (1, 2, 31, 32)}
+        self.kmin = 10.0 ** LOGKMIN
+        self.kmax = 10.0 ** (LOGKMIN + (NK_BINS - 1) * DELTALOGK)
+        self.scale_dep = True
 
     # ------------------------------------------------------------------
     # growth factors: LPT growth ODE system (cosmo.c:659-702)

@@ -84,3 +84,30 @@ def test_segment_weight_tables(hmf_validation_params,
         if s > 0:
             iprev = np.argmin(np.abs(F - (1.0 + zs[s - 1])))
             assert abs(w[iprev]) < 5e-3
+
+
+def test_fr_modified_gravity_growth():
+    """f(R) gravity: growth enhanced below the Compton scale, GR recovered
+    at k -> 0 (mu -> 1, cosmo.c:598-606)."""
+    from pinocchio_tpu.config import Params
+    from pinocchio_tpu.cosmology import Cosmology
+    p = Params(mod_grav_fr=True, fr0=1e-5, scale_dependent=True,
+               output_z=[0.0])
+    c = Cosmology(p)
+    assert c.scale_dep
+    # k=0 bin is GR: matches the scale-independent ODE result
+    p0 = Params(output_z=[0.0])
+    c0 = Cosmology(p0)
+    for z in (0.0, 1.0, 3.0):
+        np.testing.assert_allclose(float(c.GrowingMode(z, 1e-4)),
+                                   float(c0.GrowingMode(z)), rtol=2e-3)
+    # enhancement grows monotonically with k at fixed z
+    ks = [0.001, 0.03, 0.3, 3.0]
+    vals = [float(c.GrowingMode(0.5, k) / c0.GrowingMode(0.5)) for k in ks]
+    assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
+    assert vals[-1] > 1.05
+    # weaker fr0 -> weaker enhancement
+    c2 = Cosmology(Params(mod_grav_fr=True, fr0=1e-7,
+                          scale_dependent=True, output_z=[0.0]))
+    assert (float(c2.GrowingMode(0.5, 3.0) / c2.GrowingMode(0.5, 1e-4))
+            < float(c.GrowingMode(0.5, 3.0) / c.GrowingMode(0.5, 1e-4)))
