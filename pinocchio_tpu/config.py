@@ -95,6 +95,9 @@ class Params:
     dtype: str = "float32"              # product float type (fp32 like reference default)
     work_dir: str = "."
     subbox_tasks: int = 1               # fragmentation sub-domains (like NTasks)
+    transfer_f16: bool = None           # halve device->host displacement
+                                        # transfers (None = auto: on for
+                                        # remote TPU backends)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])

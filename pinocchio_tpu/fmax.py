@@ -295,9 +295,19 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
     # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
     # (compute_displacements per segment, fragment.c:398-429)
+    f16 = params.transfer_f16
+    if f16 is None:
+        f16 = jax.default_backend() not in ("cpu",)
+
+    def _fetch(v):
+        if f16:
+            return np.asarray(jax.jit(
+                lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
+        return np.asarray(v)
+
     vel_segments = None
     if params.recompute_displacements and len(params.output_z) > 1:
-        vel_segments = [{k: np.asarray(v) for k, v in vel.items()}]
+        vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
         for zseg in params.output_z[1:]:
             if scaledep:
                 g_s = growth_k_tables(cosmo, zseg, N)
@@ -308,7 +318,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                        jnp.float32(cosmo.GrowingMode_3LPT_2(zseg)))
             vs = displacement_stage(kdensity, sd, g_s, N,
                                     params.lpt_order, scaledep)
-            vel_segments.append({k: np.asarray(v) for k, v in vs.items()})
+            vel_segments.append({k: _fetch(v) for k, v in vs.items()})
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)

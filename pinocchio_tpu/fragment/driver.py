@@ -350,10 +350,26 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     pos = np.ascontiguousarray(sel, np.int32)
     full_sel = sel if cell_sel is None else cell_sel[sel]
 
+    # displacement fields cross the device->host link; optionally in
+    # float16 (~5e-4 relative, far below the half-cell Lagrangian
+    # discreteness) to halve the transfer on slow links
+    f16 = params.transfer_f16
+    if f16 is None:
+        import jax
+        f16 = jax.default_backend() not in ("cpu",)
+
+    def _fetch(arr):
+        if f16:
+            import jax
+            import jax.numpy as jnp
+            return np.asarray(jax.jit(
+                lambda x: x.astype(jnp.float16))(arr)).astype(np.float32)
+        return np.asarray(arr)
+
     def gather_vel(key):
         if key not in fmax_result.products.vel:
             return None
-        v = np.asarray(fmax_result.products.vel[key]).reshape(3, -1)
+        v = _fetch(fmax_result.products.vel[key]).reshape(3, -1)
         return np.ascontiguousarray(v[:, full_sel].T, np.float32)
 
     v1 = gather_vel("v1")
@@ -368,7 +384,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             if key not in vs:
                 return None
             return np.ascontiguousarray(
-                vs[key].reshape(3, -1)[:, full_sel].T, np.float32)
+                np.asarray(vs[key]).reshape(3, -1)[:, full_sel].T,
+                np.float32)
         seg_vel = [{k: gather_seg(vs, k)
                     for k in ("v1", "v2", "v31", "v32")}
                    for vs in fmax_result.vel_segments]
