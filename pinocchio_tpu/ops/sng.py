@@ -20,9 +20,25 @@ AMIN = 1.e-5
 AMAX = 5.0
 
 
-def _rhs(a, y, cosmo):
+def _force_modification_fr(cosmo, size, a, delta):
+    """f(R) thickness-screening force boost (ForceModification,
+    collapse_times.c:296-309); size = smoothing radius in Mpc."""
+    p = cosmo.p
+    ff = 4.0 * p.OmegaLambda / p.Omega0
+    H_over_c = 100.0 / 299792.458
+    with np.errstate(all="ignore"):
+        thickness = (p.fr0 / p.Omega0 / (H_over_c * size) ** 2
+                     * a ** 7 * np.maximum(1.0 + delta, 1e-10) ** (-1.0 / 3.0)
+                     * (((1.0 + ff) / (1.0 + ff * a ** 3)) ** 2
+                        - ((1.0 + ff) / (1.0 + delta + ff * a ** 3)) ** 2))
+    F3 = thickness * (3.0 + thickness * (-3.0 + thickness))
+    F3 = np.maximum(F3, 0.0)
+    return np.where(F3 < 1.0, F3 / 3.0, 1.0 / 3.0)
+
+
+def _rhs(a, y, cosmo, fr_size=None):
     """dy/da for the 9-eqn system (sng_system, collapse_times.c:239-289).
-    y: [9, n]."""
+    y: [9, n]; fr_size enables the f(R) force modification."""
     z = 1.0 / a - 1.0
     omegam = float(cosmo.OmegaMatter(z))
     omegal = float(cosmo.OmegaLambdaZ(z))
@@ -47,9 +63,12 @@ def _rhs(a, y, cosmo):
             safe = np.abs(den) > 0
             s = s + np.where(safe, num / np.where(safe, den, 1.0), 0.0)
         f[i] = lv[i] * (la[i] - 1.0) / a
+        grav = 3.0 * omegam * ld[i]
+        if fr_size is not None:
+            grav = grav * (1.0 + _force_modification_fr(cosmo, fr_size,
+                                                        a, delta))
         f[3 + i] = 0.5 * (lv[i] * (omegam - 2.0 * omegal - 2.0)
-                          - 3.0 * omegam * ld[i]
-                          - 2.0 * lv[i] * lv[i]) / a
+                          - grav - 2.0 * lv[i] * lv[i]) / a
         f[6 + i] = ((5.0 / 6.0 + ld[i])
                     * ((3.0 + lv.sum(axis=0))
                        - (1.0 + delta) / (2.5 + delta) * lv.sum(axis=0))
@@ -57,7 +76,8 @@ def _rhs(a, y, cosmo):
     return f
 
 
-def ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep: int = 3000):
+def ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep: int = 3000,
+                  fr_size=None):
     """Collapse scale factor a_c for each (l1,l2,l3); 0 = never collapses.
 
     D_in is the linear growing mode at a=AMIN used to scale the initial
@@ -77,10 +97,10 @@ def ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep: int = 3000):
             a0, a1 = a_grid[i], a_grid[i + 1]
             h = a1 - a0
             old_lam = y[0].copy()
-            k1 = _rhs(a0, y, cosmo)
-            k2 = _rhs(a0 + h / 2, y + h / 2 * k1, cosmo)
-            k3 = _rhs(a0 + h / 2, y + h / 2 * k2, cosmo)
-            k4 = _rhs(a1, y + h * k3, cosmo)
+            k1 = _rhs(a0, y, cosmo, fr_size)
+            k2 = _rhs(a0 + h / 2, y + h / 2 * k1, cosmo, fr_size)
+            k3 = _rhs(a0 + h / 2, y + h / 2 * k2, cosmo, fr_size)
+            k4 = _rhs(a1, y + h * k3, cosmo, fr_size)
             y = y + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
             lam = y[0]
             # an axis can shoot through lambda=1 within one step, leaving
@@ -112,8 +132,9 @@ def ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep: int = 3000):
     return a_c
 
 
-def ell_sng_F(l1, l2, l3, D_in, cosmo, nstep: int = 3000):
-    """F = 1 + z_c = 1/a_c (ell, collapse_times.c:417-426)."""
-    a_c = ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep)
+def ell_sng_F(l1, l2, l3, D_in, cosmo, nstep: int = 3000, fr_size=None):
+    """F = 1 + z_c = 1/a_c (ell, collapse_times.c:417-426); fr_size (Mpc)
+    turns on the f(R) force modification for MOD_GRAV_FR runs."""
+    a_c = ell_sng_batch(l1, l2, l3, D_in, cosmo, nstep, fr_size)
     with np.errstate(divide="ignore"):
         return np.where(a_c > 0.0, 1.0 / np.where(a_c > 0, a_c, 1.0), 0.0)
