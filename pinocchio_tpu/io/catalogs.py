@@ -63,6 +63,24 @@ def convert_catalog_units(params: Params, snap: CatalogSnapshot):
 
 def write_catalog(params: Params, snap: CatalogSnapshot,
                   directory: str = ".") -> str:
+    """NumFiles > 1 splits the catalog into .out.<i> chunks like the
+    reference's collector scheme (write_halos.c:194-225)."""
+    if params.NumFiles > 1:
+        import dataclasses
+        nf = params.NumFiles
+        edges = np.linspace(0, len(snap.mass), nf + 1).astype(int)
+        paths = []
+        base = _catalog_filename(params, snap.z)
+        for i in range(nf):
+            sl = slice(edges[i], edges[i + 1])
+            sub = CatalogSnapshot(z=snap.z, name=snap.name[sl],
+                                  mass=snap.mass[sl], q=snap.q[sl],
+                                  x=snap.x[sl], v=snap.v[sl])
+            p1 = dataclasses.replace(params, NumFiles=1)
+            pth = write_catalog(p1, sub, directory)
+            os.replace(pth, os.path.join(directory, f"{base}.{i}"))
+            paths.append(f"{base}.{i}")
+        return os.path.join(directory, paths[0])
     M, q, x, v = convert_catalog_units(params, snap)
     path = os.path.join(directory, _catalog_filename(params, snap.z))
     n = len(M)
