@@ -47,11 +47,15 @@ def demo_step(mesh: Mesh, N: int = 32, seed: int = 1):
     rshard = pfft.real_sharding(mesh)
 
     key = jax.random.PRNGKey(seed)
-    kden = jax.device_put(
-        (jax.random.normal(key, (N, N, N // 2 + 1))
-         + 1j * jax.random.normal(jax.random.fold_in(key, 1),
-                                  (N, N, N // 2 + 1))
-         ).astype(jnp.complex64), kshard)
+
+    @jax.jit
+    def make_field(key):
+        return (jax.random.normal(key, (N, N, N // 2 + 1))
+                + 1j * jax.random.normal(jax.random.fold_in(key, 1),
+                                         (N, N, N // 2 + 1))
+                ).astype(jnp.complex64)
+
+    kden = jax.device_put(make_field(key), kshard)
     Fmax = jax.device_put(jnp.full((N, N, N), -10.0, jnp.float32), rshard)
     Rmax = jax.device_put(jnp.full((N, N, N), -1, jnp.int32), rshard)
 
