@@ -287,9 +287,39 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                    jnp.float32(cosmo.GrowingMode_2LPT(z0)),
                    jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
                    jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
-    vel: Dict[str, jax.Array] = displacement_stage(kdensity, sd, growths,
-                                                   N, params.lpt_order,
-                                                   scaledep)
+    if N >= 512:
+        # staged variant: one program per field with explicit buffer
+        # lifetimes (the monolithic program's temporaries exceed HBM);
+        # the caller's Hessian reference must drop before the derivative
+        # stages for its 6 N^3 buffers to free
+        def first(kvec, iorder):
+            if scaledep:
+                gtabs, glo, gdx = growths
+                return derivatives.first_derivatives_tab(
+                    kvec, gtabs[iorder], glo, gdx, N)
+            return derivatives.first_derivatives(kvec, growths[iorder], N)
+
+        vel = {}
+        kvec2 = kvec31 = kvec32 = None
+        if params.lpt_order >= 2:
+            kvec2, kvec31, kvec32 = lpt.lpt_sources(sd, N)
+            kvec2.block_until_ready()
+        del sd
+        if kvec2 is not None:
+            vel["v2"] = first(kvec2, 1)
+            vel["v2"].block_until_ready()
+            del kvec2
+            if params.lpt_order >= 3:
+                vel["v31"] = first(kvec31, 2)
+                vel["v31"].block_until_ready()
+                vel["v32"] = first(kvec32, 3)
+                vel["v32"].block_until_ready()
+            del kvec31, kvec32
+        vel["v1"] = first(kdensity, 0)
+        sd = None
+    else:
+        vel: Dict[str, jax.Array] = displacement_stage(
+            kdensity, sd, growths, N, params.lpt_order, scaledep)
     for v in vel.values():
         v.block_until_ready()
 

@@ -289,9 +289,39 @@ static inline weights_t weights_at_seg(double F, double logk)
     return w;
 }
 
+/* the sweep evaluates the particle-side weights and the F-dependent
+ * growth many times per particle at the SAME F: memoize on F */
+static _Thread_local double memo_F = -1.0;
+static _Thread_local weights_t memo_w;
+static _Thread_local double memo_D1;
+
 static inline weights_t get_weights(double F)
 {
-    return weights_at_seg(F, I->sd_nk ? I->sd_logk_part : 0.0);
+    if (F != memo_F) {
+        memo_w = weights_at_seg(F, I->sd_nk ? I->sd_logk_part : 0.0);
+        memo_D1 = tab_interp(I->tab_D1, F);
+        memo_F = F;
+    }
+    return memo_w;
+}
+
+/* cached mass powers for virial(): cbrt(m) and cbrt(m)^espo (masses are
+ * small integers with heavy reuse) */
+#define MPOW_CACHE 65536
+static _Thread_local float *mpow_rlag = NULL;   /* cbrt(m) */
+static _Thread_local float *mpow_espo = NULL;   /* cbrt(m)^espo */
+
+static inline void mpow_init(void)
+{
+    mpow_rlag = malloc(MPOW_CACHE * sizeof(float));
+    mpow_espo = malloc(MPOW_CACHE * sizeof(float));
+    for (int m = 1; m < MPOW_CACHE; m++) {
+        double r = cbrt((double)m);
+        mpow_rlag[m] = (float)r;
+        mpow_espo[m] = (float)pow(r, I->espo);
+    }
+    mpow_rlag[0] = 0.f;
+    mpow_espo[0] = 0.f;
 }
 
 /* velocity arrays of the current (and previous) segment */
@@ -396,14 +426,23 @@ static inline double q2x_point(int i, const double *q, int64_t ip,
 /* capture radius squared (virial, build_groups.c:1023-1108) */
 static inline double virial2(int32_t mass, double F, int accretion_flag)
 {
-    double rlag = pow((double)mass, 0.333333333333333);
-    double sigmaD = I->sigma_grid * tab_interp(I->tab_D1, F);
+    double rlag, rlag_e;
+    if (mass < MPOW_CACHE) {
+        rlag = mpow_rlag[mass];
+        rlag_e = mpow_espo[mass];
+    } else {
+        rlag = pow((double)mass, 0.333333333333333);
+        rlag_e = pow(rlag, I->espo);
+    }
+    if (F != memo_F)
+        (void)get_weights(F);        /* refresh memo_D1 */
+    double sigmaD = I->sigma_grid * memo_D1;
     double r;
     if (!accretion_flag)
-        r = I->f_m * pow(rlag, I->espo) *
+        r = I->f_m * rlag_e *
             (sigmaD > I->sigmaD0 ? 1.0 + (sigmaD - I->sigmaD0) * I->f_rm : 1.0);
     else
-        r = I->f_a * pow(rlag, I->espo) *
+        r = I->f_a * rlag_e *
             (sigmaD > I->sigmaD0 ? 1.0 + (sigmaD - I->sigmaD0) * I->f_ra : 1.0);
     double r200 = I->f_200 * rlag;
     return r * r + r200 * r200;
@@ -926,6 +965,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     }
     G.ngroups = FILAMENT;
     cur_seg = 0;
+    memo_F = -1.0;
+    mpow_init();
 
     group_of_particle_arr = out->group_of_particle;
     join_F_arr = calloc(in->n, sizeof(float));
@@ -1230,6 +1271,7 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
         while (I->nseg && cur_seg < I->nseg - 1
                && F < I->segF[cur_seg + 1]) {
             cur_seg++;
+            memo_F = -1.0;
             const float *a1 = I->seg_v1[cur_seg];
             const float *a2 = I->lpt_order >= 2 ? I->seg_v2[cur_seg]
                                                 : NULL;
@@ -1366,6 +1408,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     memcpy(out->alive, G.alive, (ng + 1) * sizeof(uint8_t));
 
     (void)plc_started;
+    free(mpow_rlag); free(mpow_espo);
+    mpow_rlag = mpow_espo = NULL;
     free(G.Flast);
     free(G.mass); free(G.q); free(G.gv1);
     free(G.gv2); free(G.gv31); free(G.gv32);
