@@ -117,6 +117,21 @@ class Cosmology:
             self._init_scaledep_from_camb()
         elif p.mod_grav_fr:
             self._init_scaledep_from_fr()
+        elif p.scale_dependent:
+            # SCALE_DEP_LCDM: k-independent growth replicated onto the
+            # k grid — exercises the scale-dependent machinery with LCDM
+            # physics (the reference's per-k ODEs coincide for LCDM)
+            self._sd_spl_grow = {
+                o: [spl] * NK_BINS for o, spl in
+                ((1, self.sp_grow1), (2, self.sp_grow2),
+                 (31, self.sp_grow31), (32, self.sp_grow32))}
+            self._sd_spl_fom = {
+                o: [spl] * NK_BINS for o, spl in
+                ((1, self.sp_fom1), (2, self.sp_fom2),
+                 (31, self.sp_fom31), (32, self.sp_fom32))}
+            self.kmin = 10.0 ** LOGKMIN
+            self.kmax = 10.0 ** (LOGKMIN + (NK_BINS - 1) * DELTALOGK)
+            self.scale_dep = True
         self.PkNorm = 1.0
         self._normalize_power_spectrum()
         # Gaussian-window variance drives the smoothing ladder

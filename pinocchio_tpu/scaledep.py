@@ -41,47 +41,49 @@ class ScaleDepGM:
 
 
 def _sigma_of_a(cosmo: Cosmology, R: float, a_grid, wtype, nyquist,
-                weight_fomega=False):
-    """sqrt of the windowed variance integral at each a."""
-    out = np.empty(len(a_grid))
-    for i, a in enumerate(a_grid):
-        z = 1.0 / a - 1.0
-
-        def integrand(logk):
-            k = 10.0 ** logk
-            w = float(cosmo.window(k * R, wtype))
-            D = float(cosmo.GrowingMode(z, k))
-            val = float(cosmo.PowerSpectrum(k)) * D * D * w * w
-            if weight_fomega:
-                fo = float(cosmo.fomega(z, k))
-                val *= fo * fo
-            if wtype == GAUSSIAN:
-                val *= k ** 3
-            else:
-                val *= k
-            return val / (2.0 * math.pi ** 2)
-
-        out[i] = math.sqrt(quad(integrand, -4.0, nyquist, epsabs=0.0,
-                                epsrel=TOL, limit=1000)[0])
-    return out
+                weight_fomega=False, nk: int = 384):
+    """sqrt of the windowed variance integral at each a, vectorized:
+    fixed log-k Simpson quadrature with D(a,k) (and optionally f(a,k))
+    evaluated as [na, nk] arrays — the integrand is smooth so a few
+    hundred nodes match the reference's adaptive QAGS to ~1e-5."""
+    logk = np.linspace(-4.0, nyquist, nk)
+    k = 10.0 ** logk
+    w = np.asarray(cosmo.window(k * R, wtype), np.float64)
+    pk = np.asarray(cosmo.PowerSpectrum(k), np.float64)
+    # the reference integrates over ln k (IntegrandForSDDensVariance,
+    # initialization.c:1439-1457)
+    base = (pk * w * w * (k ** 3 if wtype == GAUSSIAN else k)
+            / (2.0 * math.pi ** 2))
+    z = 1.0 / np.asarray(a_grid) - 1.0
+    # D(a,k) on the [na, nk] grid via the k-bin interpolation
+    D = np.empty((len(z), nk))
+    FO = np.ones((len(z), nk))
+    for j in range(nk):
+        D[:, j] = cosmo.GrowingMode(z, k[j])
+        if weight_fomega:
+            FO[:, j] = cosmo.fomega(z, k[j])
+    integ = base[None, :] * D * D * (FO * FO if weight_fomega else 1.0)
+    # Simpson over uniform ln k spacing
+    from scipy.integrate import simpson
+    lnk = logk * math.log(10.0)
+    out = simpson(integ, x=lnk, axis=1)
+    return np.sqrt(np.maximum(out, 0.0))
 
 
 def _best_k(cosmo: Cosmology, target, a_grid, z20, today,
             weight_fomega=False):
     """Bisection in log k for the scale whose growth best matches the
     normalized target curve (initialization.c:1609-1690)."""
+    zz = 1.0 / a_grid[z20:today + 1] - 1.0
+
     def model_diff(k):
         if weight_fomega:
             norm = float(cosmo.GrowingMode(0.0, k) * cosmo.fomega(0.0, k))
-            vals = np.array(
-                [float(cosmo.GrowingMode(1.0 / a - 1.0, k)
-                       * cosmo.fomega(1.0 / a - 1.0, k))
-                 for a in a_grid[z20:today + 1]]) / norm
+            vals = np.asarray(cosmo.GrowingMode(zz, k)
+                              * cosmo.fomega(zz, k)) / norm
         else:
             norm = float(cosmo.GrowingMode(0.0, k))
-            vals = np.array(
-                [float(cosmo.GrowingMode(1.0 / a - 1.0, k))
-                 for a in a_grid[z20:today + 1]]) / norm
+            vals = np.asarray(cosmo.GrowingMode(zz, k)) / norm
         return float((target[z20:today + 1] - vals).sum()) / NBINS
 
     logk1 = LOGKMIN
