@@ -359,6 +359,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         f16 = jax.default_backend() not in ("cpu",)
 
     def _fetch(arr):
+        if isinstance(arr, np.ndarray):
+            return arr                 # already materialized on the host
         if f16:
             import jax
             import jax.numpy as jnp

@@ -266,7 +266,14 @@ def collapse_update_table(derivs, Fmax, Rmax, ismooth, ct_tab, ct_dv,
     upd = Fmax < F
     Fmax = jnp.where(upd, F, Fmax)
     Rmax = jnp.where(upd, ismooth, Rmax)
-    return Fmax, Rmax, jnp.mean(delta), jnp.mean(delta * delta)
+    return Fmax, Rmax, _safe_mean(delta), _safe_mean(delta * delta)
+
+
+def _safe_mean(x):
+    """Hierarchical fp32 mean: a flat reduction over ~1e8+ values loses
+    late increments to ulp starvation (at 512^3 the grid variance came out
+    16% low); per-axis partial means keep every accumulator small."""
+    return jnp.mean(jnp.mean(jnp.mean(x, axis=-1), axis=-1))
 
 
 @partial(jax.jit, static_argnames=())
