@@ -148,6 +148,13 @@ class Params:
         return 1
 
     def validate(self) -> None:
+        # CAMB table request implies the neutrino-cosmology feature set of
+        # the reference build (src/Makefile:77-80): scale-dependent growth
+        # + segmented displacement recomputation
+        if self.FileWithInputSpectrum == "CAMBTable":
+            self.scale_dependent = True
+            self.read_pk_table = True
+            self.recompute_displacements = True
         if self.MinHaloMass <= 0:
             self.MinHaloMass = 1
         if self.NumFiles <= 0:
@@ -226,13 +233,6 @@ def read_parameter_file(path: str, **overrides) -> Params:
         out_path = os.path.join(base, out_path)
     if os.path.exists(out_path):
         p.output_z = read_outputs(out_path)
-    # CAMB table request implies the neutrino-cosmology feature set of the
-    # reference build (src/Makefile:77-80): scale-dependent growth +
-    # segmented displacement recomputation
-    if p.FileWithInputSpectrum == "CAMBTable":
-        p.scale_dependent = True
-        p.read_pk_table = True
-        p.recompute_displacements = True
     for k, v in overrides.items():
         setattr(p, k, v)
     p.validate()

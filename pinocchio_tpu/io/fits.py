@@ -159,7 +159,17 @@ def read_fits(path: str):
     return out
 
 
-def convert_catalog_to_fits(catalog_path: str, params=None) -> str:
+def _fits_path(src: str, outdir=None) -> str:
+    """<dir>/<name>.out -> <outdir or dir>/<name>.fits."""
+    import os
+    out = src[:-3] + "fits"
+    if outdir is not None:
+        out = os.path.join(outdir, os.path.basename(out))
+    return out
+
+
+def convert_catalog_to_fits(catalog_path: str, params=None,
+                            outdir=None) -> str:
     """pinocchio.<z>.<run>.catalog.out -> .fits (Pinocchio2fits.py analog),
     with the run parameters recorded in the header."""
     from .readers import read_catalog
@@ -172,12 +182,12 @@ def convert_catalog_to_fits(catalog_path: str, params=None) -> str:
             if isinstance(v, (int, float, str, bool)):
                 extra.append((f"PAR{i + 1}", f.name, ""))
                 extra.append((f"VAL{i + 1}", v, ""))
-    out = catalog_path[:-3] + "fits"
+    out = _fits_path(catalog_path, outdir)
     return write_fits(out, [("CATALOG", rec, extra)],
                       primary_cards=[("CODE", "pinocchio-tpu", "")])
 
 
-def convert_histories_to_fits(path: str, params=None) -> str:
+def convert_histories_to_fits(path: str, params=None, outdir=None) -> str:
     from .readers import read_histories
     ntrees, trees = read_histories(path)
     branches = np.concatenate(trees)
@@ -190,7 +200,7 @@ def convert_histories_to_fits(path: str, params=None) -> str:
         off += len(t)
     extra = [("NTREES", ntrees, "number of trees"),
              ("NBRANCH", len(branches), "number of branches")]
-    out = path[:-3] + "fits"
+    out = _fits_path(path, outdir)
     return write_fits(out, [("HISTORIES", branches, extra),
                             ("POINTERS", ptr, extra)],
                       primary_cards=[("CODE", "pinocchio-tpu", "")])
