@@ -98,6 +98,11 @@ class Params:
     transfer_f16: bool = None           # halve device->host displacement
                                         # transfers (None = auto: on for
                                         # remote TPU backends)
+    sparse_transfer: bool = None        # device-side needed-particle
+                                        # compaction before the d->h fetch
+                                        # (V5 needed-particle maps,
+                                        # distribute.c:670-698; None =
+                                        # auto: on for TPU backends)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])

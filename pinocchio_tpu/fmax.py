@@ -357,6 +357,97 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                       timings=timings)
 
 
+def fetch_products_host(params, fmax_result, verbose: bool = False):
+    """Materialize the fmax products on the host for fragmentation,
+    transferring only the NEEDED particles.
+
+    TPU-native analog of the reference V5 needed-particle maps
+    (build_distmap/update_distmap, distribute.c:670-698; two-turn scheme
+    fragment.c:193-316): only particles that collapse by the final
+    redshift (Fmax >= Flast, typically ~1/3 of the grid) take part in
+    fragmentation, so a single jitted compaction program selects them on
+    device — cumsum-scatter of their cell indices, gather of their
+    displacement rows, float16 cast — and only that subset crosses the
+    device->host link (the e2e bottleneck on slow links, and HBM->host
+    bandwidth generally).  The dense host arrays the sweep indexes into
+    are rebuilt by scatter; unselected cells are zero and are never read
+    (the sweep's selection is the same Fmax >= Flast cut).
+
+    Rmax is NOT transferred (the sweep never reads it); the device array
+    is kept in the returned Products for snapshot/dump paths.
+    """
+    import dataclasses
+
+    prods = fmax_result.products
+    if isinstance(prods.Fmax, np.ndarray):
+        return fmax_result
+    backend = jax.default_backend()
+    f16 = params.transfer_f16
+    if f16 is None:
+        f16 = backend not in ("cpu",)
+    sparse = params.sparse_transfer
+    if sparse is None:
+        sparse = backend not in ("cpu",)
+
+    if not sparse:
+        def fetch(v):
+            if f16:
+                return np.asarray(jax.jit(
+                    lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
+            return np.asarray(v)
+        dense = Products(Fmax=np.asarray(prods.Fmax),
+                         Rmax=prods.Rmax,
+                         vel={k: fetch(v) for k, v in prods.vel.items()})
+        return dataclasses.replace(fmax_result, products=dense)
+
+    t0 = time.perf_counter()
+    N = fmax_result.grid.N
+    N3 = N * N * N
+    Flast = float(params.Flast)
+    count = int(np.asarray(jax.jit(
+        lambda F: (F.ravel() >= Flast).sum())(prods.Fmax)))
+    # bucket the capacity (<=16 distinct program shapes per grid) so the
+    # compiled compaction is reusable across realizations
+    step = max(1, N3 // 16)
+    cap = min(N3, ((count + step - 1) // step) * step) if count else step
+    outdt = jnp.float16 if f16 else jnp.float32
+    keys = sorted(prods.vel)
+
+    @jax.jit
+    def compact(F, vels):
+        Ff = F.ravel()
+        mask = Ff >= Flast
+        tgt = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
+        idx = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
+            jnp.arange(N3, dtype=jnp.int32), mode="drop")
+        Fs = jnp.zeros((cap,), jnp.float32).at[tgt].set(Ff, mode="drop")
+        safe = jnp.maximum(idx, 0)
+        return idx, Fs, [vels[k].reshape(3, -1)[:, safe].astype(outdt)
+                         for k in keys]
+
+    idx, Fs, vrows = compact(prods.Fmax, prods.vel)
+    idx_h = np.asarray(idx)
+    valid = idx_h >= 0
+    ci = idx_h[valid]
+    F_h = np.zeros(N3, np.float32)
+    F_h[ci] = np.asarray(Fs)[valid]
+    vel_h = {}
+    for k, rows in zip(keys, vrows):
+        rows_h = np.asarray(rows)
+        dense = np.zeros((3, N3), np.float32)
+        for c in range(3):
+            dense[c, ci] = rows_h[c, valid]
+        vel_h[k] = dense.reshape(3, N, N, N)
+    if verbose:
+        nb = cap * (8 + 6 * len(keys) * (2 if f16 else 4))
+        print(f"  products: {count}/{N3} needed particles "
+              f"({100.0 * count / N3:.1f}%), {nb / 1e6:.0f} MB transferred "
+              f"in {time.perf_counter() - t0:.1f}s")
+    dense = Products(Fmax=F_h.reshape(N, N, N), Rmax=prods.Rmax,
+                     vel=vel_h)
+    return dataclasses.replace(fmax_result, products=dense)
+
+
 def fmax_pdf(Fmax: np.ndarray, fname: str = None):
     """Histogram of Fmax (Fmax_PDF, fmax.c:509-550): 210 bins of width
     0.1 in F, counts, matching the reference file format."""

@@ -328,6 +328,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
 
     # ---- gather products to host, select and sort (fragment.c:484-520) ----
     t0 = time.perf_counter()
+    from ..fmax import fetch_products_host
+    fmax_result = fetch_products_host(params, fmax_result, verbose=verbose)
     F_full = np.asarray(fmax_result.products.Fmax)
     full_box = tuple(geom.L) == (N, N, N) and tuple(geom.stabl) == (0, 0, 0)
     if full_box:
@@ -372,7 +374,10 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         if key not in fmax_result.products.vel:
             return None
         v = _fetch(fmax_result.products.vel[key]).reshape(3, -1)
-        return np.ascontiguousarray(v[:, full_sel].T, np.float32)
+        out = np.empty((len(full_sel), 3), np.float32)
+        for c in range(3):      # one pass per component, no transpose copy
+            out[:, c] = v[c].take(full_sel)
+        return out
 
     v1 = gather_vel("v1")
     v2 = gather_vel("v2")

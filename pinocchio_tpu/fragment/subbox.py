@@ -27,29 +27,9 @@ from .driver import (CatalogSnapshot, FragmentResult, SubboxGeometry,
                      run_fragmentation)
 
 
-def _host_copy(params, fmax_result):
-    import dataclasses
-    import jax
-    import numpy as np
-    from ..fmax import Products
-    f16 = params.transfer_f16
-    if f16 is None:
-        f16 = jax.default_backend() not in ("cpu",)
-
-    def fetch(v):
-        if isinstance(v, np.ndarray):
-            return v
-        if f16:
-            import jax.numpy as jnp
-            return np.asarray(jax.jit(
-                lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
-        return np.asarray(v)
-
-    prods = Products(Fmax=np.asarray(fmax_result.products.Fmax),
-                     Rmax=np.asarray(fmax_result.products.Rmax),
-                     vel={k: fetch(v)
-                          for k, v in fmax_result.products.vel.items()})
-    return dataclasses.replace(fmax_result, products=prods)
+def _host_copy(params, fmax_result, verbose=False):
+    from ..fmax import fetch_products_host
+    return fetch_products_host(params, fmax_result, verbose=verbose)
 
 
 def find_start(L: int, n: int, ibox: int) -> int:
@@ -147,7 +127,7 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     # materialize the products on the host ONCE: each sub-box sweep slices
     # these numpy arrays instead of re-fetching full device arrays
     # (the device->host link costs ~seconds/GB here)
-    fmax_result = _host_copy(params, fmax_result)
+    fmax_result = _host_copy(params, fmax_result, verbose=verbose)
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "

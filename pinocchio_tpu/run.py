@@ -175,6 +175,12 @@ def main(argv=None):
                     help="jax platform (cpu / axon)")
     ap.add_argument("--subboxes", type=int, default=None,
                     help="number of fragmentation sub-domains")
+    ap.add_argument("--sparse", dest="sparse", action="store_true",
+                    default=None,
+                    help="force needed-particle compaction of the "
+                    "device->host product transfer (default: auto, on "
+                    "for TPU backends)")
+    ap.add_argument("--no-sparse", dest="sparse", action="store_false")
     args = ap.parse_args(argv)
 
     from .backend import setup
@@ -188,6 +194,8 @@ def main(argv=None):
         params.GridSize = args.grid
     if args.subboxes:
         params.subbox_tasks = args.subboxes
+    if args.sparse is not None:
+        params.sparse_transfer = args.sparse
     os.makedirs(args.outdir, exist_ok=True)
     if args.mode is not None:
         run_special_mode(params, args.mode, outdir=args.outdir)

@@ -122,3 +122,44 @@ def test_catalog_roundtrip_binary(frag_result, hmf_validation_params,
         assert m1 == m2 == ngood * io_cat.CATALOG_DTYPE.itemsize
     assert (rec["n"] == snap.mass).all()
     assert (rec["name"] == snap.name).all()
+
+
+def test_sparse_transfer_identical(hmf_validation_params,
+                                   hmf_validation_cosmology, fmax_result):
+    """Device-side needed-particle compaction (fetch_products_host) must
+    reproduce the dense-transfer fragmentation bit-for-bit: the zeroed
+    unselected cells are never read by the sweep."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+
+    p_dense = dataclasses.replace(hmf_validation_params,
+                                  sparse_transfer=False,
+                                  transfer_f16=False)
+    p_sparse = dataclasses.replace(hmf_validation_params,
+                                   sparse_transfer=True,
+                                   transfer_f16=False)
+    # explicit sparse fetch: needed fraction is plausible, dense F agrees
+    # on selected cells and is zero elsewhere
+    sp = fetch_products_host(p_sparse, fmax_result)
+    F0 = np.asarray(fmax_result.products.Fmax)
+    F1 = sp.products.Fmax
+    sel = F0 >= p_sparse.Flast
+    assert 0.05 < sel.mean() < 0.9
+    assert np.array_equal(F1[sel], F0[sel])
+    assert not np.any(F1[~sel])
+    for k, v in fmax_result.products.vel.items():
+        v0 = np.asarray(v).reshape(3, -1)
+        v1 = sp.products.vel[k].reshape(3, -1)
+        assert np.array_equal(v1[:, sel.ravel()], v0[:, sel.ravel()])
+
+    r0 = run_fragmentation(p_dense, hmf_validation_cosmology, fmax_result,
+                           verbose=False)
+    r1 = run_fragmentation(p_sparse, hmf_validation_cosmology, fmax_result,
+                           verbose=False)
+    assert np.array_equal(r0.counters, r1.counters)
+    for c0, c1 in zip(r0.catalogs, r1.catalogs):
+        assert np.array_equal(c0.name, c1.name)
+        assert np.array_equal(c0.mass, c1.mass)
+        assert np.array_equal(c0.x, c1.x)
+        assert np.array_equal(c0.v, c1.v)
