@@ -1,24 +1,35 @@
 """Distributed 3-D FFT + k-space kernels over a device mesh.
 
 TPU-native replacement for the reference's PFFT slab/pencil decomposition
-(fmax-pfft.c, initialization.c:1205-1379): real fields are slab-sharded
-along x over a 1-D mesh axis; the r2c transform runs the two local axes
-on-chip and moves the x axis on-chip with a single ICI all_to_all
-(the collective PFFT performs internally with MPI_Alltoall).
+(fmax-pfft.c, initialization.c:1205-1379).  Two decompositions, mirroring
+set_fft_decomposition's 1-D / 2-D procmesh choice:
 
-Layouts (global shapes, p = mesh size):
-  real space   [N, N, N]        sharded P('x', None, None)
-  k space      [N, N, N//2+1]   sharded P(None, 'x', None)   (ky sharded)
+* **Slab** (1-D mesh): real fields sharded along x; the r2c transform runs
+  the two local axes on-chip and gathers the x axis with a single ICI
+  all_to_all (the collective PFFT performs internally with MPI_Alltoall).
+
+* **Pencil** (2-D mesh, axes 'a' x 'b'): real fields sharded along x and y;
+  the transform does z locally, then two *subgroup* all_to_alls (one within
+  each mesh row, one within each column) — the transposes ride torus
+  rows/columns instead of one global all-to-all, and the per-device slab
+  height N/p is replaced by an N/pa x N/pb pencil, removing the slab limit
+  p <= N (initialization.c:1236-1301 picks pencils for the same reason).
+
+Layouts (global shapes, p = mesh size, Nh = N//2+1):
+  slab    real [N, N, N]  P('x', None, None)   k [N, N, Nh]   P(None,'x',None)
+  pencil  real [N, N, N]  P('a', 'b', None)    k [N, N, Nhp]  P(None,'a','b')
+where Nhp = pb*ceil(Nh/pb): the rfft half-axis is zero-padded so the kz
+blocks split evenly; padded planes stay exactly zero through every linear
+step and are sliced off before the inverse r2c axis.
 
 The Green's-function x smoothing multiply is computed per shard with the
-global ky offset from the mesh coordinate, exactly mirroring the per-task
+global k offsets from the mesh coordinates, exactly mirroring the per-task
 k-loop of compute_derivative (fmax-pfft.c:306-397).
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,52 +39,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..grids import signed_modes
 
 AX = "x"    # mesh axis name for the slab decomposition
+AXA = "a"   # pencil mesh axes
+AXB = "b"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D (slab) mesh over the first n devices."""
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (AX,))
 
 
-def real_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(AX, None, None))
-
-
-def kspace_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(None, AX, None))
-
-
-# ---------------- per-shard transforms ----------------
-
-def _fwd_local(r, N: int):
-    """local [N/p, N, N] real -> local [N, N/p, Nh] complex."""
-    k = jnp.fft.rfft(r, axis=2)
-    k = jnp.fft.fft(k, axis=1)
-    k = jax.lax.all_to_all(k, AX, split_axis=1, concat_axis=0, tiled=True)
-    return jnp.fft.fft(k, axis=0)
-
-
-def _inv_local(k, N: int):
-    """local [N, N/p, Nh] complex -> local [N/p, N, N] real."""
-    k = jnp.fft.ifft(k, axis=0)
-    k = jax.lax.all_to_all(k, AX, split_axis=0, concat_axis=1, tiled=True)
-    k = jnp.fft.ifft(k, axis=1)
-    return jnp.fft.irfft(k, n=N, axis=2)
-
-
-def _local_kvectors(N: int, p: int):
-    """k in grid units for the transposed k layout, with the ky block
-    offset by this shard's mesh coordinate."""
-    me = jax.lax.axis_index(AX)
-    mloc = N // p
-    two_pi = 2.0 * np.pi / N
-    mx = jnp.asarray(signed_modes(N), jnp.float32).reshape(N, 1, 1)
-    my_idx = me * mloc + jnp.arange(mloc)
-    my = jnp.where(my_idx <= N // 2, my_idx, my_idx - N
-                   ).astype(jnp.float32).reshape(1, mloc, 1)
-    mz = jnp.arange(N // 2 + 1, dtype=jnp.float32).reshape(1, 1, N // 2 + 1)
-    return two_pi * mx, two_pi * my, two_pi * mz
+def make_pencil_mesh(n_devices: int | None = None,
+                     shape: tuple | None = None) -> Mesh:
+    """2-D (pencil) mesh; factorization defaults to the most square
+    pa x pb split (set_fft_decomposition's 2-D branch,
+    initialization.c:1266-1301 picks the gcd-balanced procmesh)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        pa = int(math.sqrt(n))
+        while n % pa:
+            pa -= 1
+        shape = (pa, n // pa)
+    assert shape[0] * shape[1] == n
+    return Mesh(np.array(devs[:n]).reshape(shape), (AXA, AXB))
 
 
 def shard_map_fn(mesh, fn, in_specs, out_specs):
@@ -81,57 +71,174 @@ def shard_map_fn(mesh, fn, in_specs, out_specs):
                          out_specs=out_specs, check_vma=False)
 
 
-def distributed_rfft3(mesh: Mesh, N: int):
-    """Forward transform: real P(x) -> k-space P(None, x)."""
-    return shard_map_fn(mesh, partial(_fwd_local, N=N),
-                        P(AX, None, None), P(None, AX, None))
+def _safe_inv(k2):
+    return jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
 
 
-def distributed_irfft3(mesh: Mesh, N: int):
-    return shard_map_fn(mesh, partial(_inv_local, N=N),
-                        P(None, AX, None), P(AX, None, None))
+class SlabDecomp:
+    """1-D decomposition: one global all_to_all per transform."""
+
+    def __init__(self, mesh: Mesh, N: int):
+        assert len(mesh.axis_names) == 1
+        self.mesh, self.N = mesh, N
+        self.p = mesh.devices.size
+        assert N % self.p == 0, "slab needs N % n_devices == 0"
+        self.real_spec = P(AX, None, None)
+        self.k_spec = P(None, AX, None)
+        self.k_global_shape = (N, N, N // 2 + 1)
+
+    def real_sharding(self):
+        return NamedSharding(self.mesh, self.real_spec)
+
+    def kspace_sharding(self):
+        return NamedSharding(self.mesh, self.k_spec)
+
+    def fwd_local(self, r):
+        """local [N/p, N, N] real -> local [N, N/p, Nh] complex."""
+        k = jnp.fft.rfft(r, axis=2)
+        k = jnp.fft.fft(k, axis=1)
+        k = jax.lax.all_to_all(k, AX, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return jnp.fft.fft(k, axis=0)
+
+    def inv_local(self, k):
+        """local [N, N/p, Nh] complex -> local [N/p, N, N] real."""
+        k = jnp.fft.ifft(k, axis=0)
+        k = jax.lax.all_to_all(k, AX, split_axis=0, concat_axis=1,
+                               tiled=True)
+        k = jnp.fft.ifft(k, axis=1)
+        return jnp.fft.irfft(k, n=self.N, axis=2)
+
+    def local_kvectors(self):
+        """k in grid units for the transposed k layout, with the ky block
+        offset by this shard's mesh coordinate."""
+        N, p = self.N, self.p
+        me = jax.lax.axis_index(AX)
+        mloc = N // p
+        two_pi = 2.0 * np.pi / N
+        mx = jnp.asarray(signed_modes(N), jnp.float32).reshape(N, 1, 1)
+        my_idx = me * mloc + jnp.arange(mloc)
+        my = jnp.where(my_idx <= N // 2, my_idx, my_idx - N
+                       ).astype(jnp.float32).reshape(1, mloc, 1)
+        mz = jnp.arange(N // 2 + 1, dtype=jnp.float32
+                        ).reshape(1, 1, N // 2 + 1)
+        return two_pi * mx, two_pi * my, two_pi * mz
 
 
-def distributed_second_derivatives(mesh: Mesh, N: int):
+class PencilDecomp:
+    """2-D decomposition: two subgroup all_to_alls per transform."""
+
+    def __init__(self, mesh: Mesh, N: int):
+        assert tuple(mesh.axis_names) == (AXA, AXB)
+        self.mesh, self.N = mesh, N
+        self.pa, self.pb = mesh.devices.shape
+        assert N % self.pa == 0 and N % self.pb == 0, \
+            "pencil needs N divisible by both mesh dims"
+        Nh = N // 2 + 1
+        self.Nhp = self.pb * ((Nh + self.pb - 1) // self.pb)
+        self.real_spec = P(AXA, AXB, None)
+        self.k_spec = P(None, AXA, AXB)
+        self.k_global_shape = (N, N, self.Nhp)
+
+    def real_sharding(self):
+        return NamedSharding(self.mesh, self.real_spec)
+
+    def kspace_sharding(self):
+        return NamedSharding(self.mesh, self.k_spec)
+
+    def fwd_local(self, r):
+        """local [N/pa, N/pb, N] real -> local [N, N/pa, Nhp/pb] complex."""
+        Nh = self.N // 2 + 1
+        k = jnp.fft.rfft(r, axis=2)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, self.Nhp - Nh)))
+        # row transpose: gather y, scatter kz within each 'b' group
+        k = jax.lax.all_to_all(k, AXB, split_axis=2, concat_axis=1,
+                               tiled=True)
+        k = jnp.fft.fft(k, axis=1)
+        # column transpose: gather x, scatter ky within each 'a' group
+        k = jax.lax.all_to_all(k, AXA, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return jnp.fft.fft(k, axis=0)
+
+    def inv_local(self, k):
+        """local [N, N/pa, Nhp/pb] complex -> local [N/pa, N/pb, N] real."""
+        Nh = self.N // 2 + 1
+        k = jnp.fft.ifft(k, axis=0)
+        k = jax.lax.all_to_all(k, AXA, split_axis=0, concat_axis=1,
+                               tiled=True)
+        k = jnp.fft.ifft(k, axis=1)
+        k = jax.lax.all_to_all(k, AXB, split_axis=1, concat_axis=2,
+                               tiled=True)
+        return jnp.fft.irfft(k[:, :, :Nh], n=self.N, axis=2)
+
+    def local_kvectors(self):
+        """k in grid units for the pencil k layout: ky offset by the 'a'
+        coordinate, kz by the 'b' coordinate (padded kz tail carries
+        exactly-zero modes; its k values are inert)."""
+        N = self.N
+        a = jax.lax.axis_index(AXA)
+        b = jax.lax.axis_index(AXB)
+        mloc_y = N // self.pa
+        mloc_z = self.Nhp // self.pb
+        two_pi = 2.0 * np.pi / N
+        mx = jnp.asarray(signed_modes(N), jnp.float32).reshape(N, 1, 1)
+        my_idx = a * mloc_y + jnp.arange(mloc_y)
+        my = jnp.where(my_idx <= N // 2, my_idx, my_idx - N
+                       ).astype(jnp.float32).reshape(1, mloc_y, 1)
+        mz = (b * mloc_z + jnp.arange(mloc_z)).astype(jnp.float32
+                                                      ).reshape(1, 1, mloc_z)
+        return two_pi * mx, two_pi * my, two_pi * mz
+
+
+def make_decomp(mesh: Mesh, N: int):
+    return (PencilDecomp(mesh, N) if len(mesh.axis_names) == 2
+            else SlabDecomp(mesh, N))
+
+
+# ---------------- distributed transforms / kernels ----------------
+
+def distributed_rfft3(decomp):
+    """Forward transform: real-space sharding -> k-space sharding."""
+    return shard_map_fn(decomp.mesh, decomp.fwd_local,
+                        decomp.real_spec, decomp.k_spec)
+
+
+def distributed_irfft3(decomp):
+    return shard_map_fn(decomp.mesh, decomp.inv_local,
+                        decomp.k_spec, decomp.real_spec)
+
+
+def distributed_second_derivatives(decomp):
     """All 6 Hessian components of the smoothed potential, distributed.
 
-    Input: kdensity in the transposed k layout; output [6, N, N, N]
-    real-space stack, slab-sharded.  6 inverse FFTs with one fused
-    elementwise multiply each, like fmax.c:225-258.
+    Input: kdensity in the decomposition's k layout; output [6, N, N, N]
+    real-space stack.  6 inverse FFTs with one fused elementwise multiply
+    each, like fmax.c:225-258.
     """
-    p = mesh.devices.size
-
     def local(kden, R_grid):
-        kx, ky, kz = _local_kvectors(N, p)
+        kx, ky, kz = decomp.local_kvectors()
         k2 = kx * kx + ky * ky + kz * kz
-        inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0),
-                           0.0)
-        base = kden * (jnp.exp(-0.5 * k2 * R_grid * R_grid) * inv_k2
-                       ).astype(jnp.float32)
+        base = kden * (jnp.exp(-0.5 * k2 * R_grid * R_grid)
+                       * _safe_inv(k2)).astype(jnp.float32)
         kvec = (kx, ky, kz)
         outs = []
         for ia, ib in ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)):
-            outs.append(_inv_local(base * (kvec[ia] * kvec[ib]), N))
+            outs.append(decomp.inv_local(base * (kvec[ia] * kvec[ib])))
         return jnp.stack(outs)
 
-    return shard_map_fn(mesh, local,
-                        (P(None, AX, None), P()),
-                        P(None, AX, None, None))
+    return shard_map_fn(decomp.mesh, local, (decomp.k_spec, P()),
+                        P(None, *decomp.real_spec))
 
 
-def distributed_first_derivatives(mesh: Mesh, N: int):
+def distributed_first_derivatives(decomp):
     """The 3 first derivatives i k_a / k^2 (one displacement stack)."""
-    p = mesh.devices.size
-
     def local(kvector, growth):
-        kx, ky, kz = _local_kvectors(N, p)
+        kx, ky, kz = decomp.local_kvectors()
         k2 = kx * kx + ky * ky + kz * kz
-        inv_k2 = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0),
-                           0.0)
-        base = kvector * (1j * growth) * inv_k2.astype(jnp.float32)
-        return jnp.stack([_inv_local(base * kx, N),
-                          _inv_local(base * ky, N),
-                          _inv_local(base * kz, N)])
+        base = kvector * (1j * growth) * _safe_inv(k2).astype(jnp.float32)
+        return jnp.stack([decomp.inv_local(base * kx),
+                          decomp.inv_local(base * ky),
+                          decomp.inv_local(base * kz)])
 
-    return shard_map_fn(mesh, local, (P(None, AX, None), P()),
-                        P(None, AX, None, None))
+    return shard_map_fn(decomp.mesh, local, (decomp.k_spec, P()),
+                        P(None, *decomp.real_spec))
