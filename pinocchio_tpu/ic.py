@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cosmology import Cosmology
-from .grids import Grid, mode_radius_sq, signed_modes
+from .grids import Grid
 
 
 def pk_table(cosmo: Cosmology, grid: Grid, npts: int = 4096):
@@ -43,27 +43,12 @@ def pk_table(cosmo: Cosmology, grid: Grid, npts: int = 4096):
     return (jnp.asarray(logk, jnp.float32), jnp.asarray(logpk, jnp.float32))
 
 
-def _hermitian_maps(N: int):
-    """Index maps imposing delta(-k) = delta*(k) on the kz=0 plane.
-
-    A mode (ix, iy, 0) is 'dependent' when ix > N/2, or ix == 0 and
-    iy > N/2: it takes the mirrored mode's draws with conjugation
-    (GenIC.c:293-368).  Returns (dependent mask, mirror ix, mirror iy).
-    """
-    ix = np.arange(N)[:, None]
-    iy = np.arange(N)[None, :]
-    dep = (ix > N // 2) | ((ix == 0) & (iy > N // 2))
-    mix = (N - ix) % N
-    miy = (N - iy) % N
-    return dep, np.broadcast_to(mix, (N, N)), np.broadcast_to(miy, (N, N))
-
-
 from functools import partial
 
 
 @partial(jax.jit, static_argnames=("N", "fixed", "paired"))
-def _kdensity_jit(key, logk_tab, logpk_tab, logkm, alive, dep, mix, miy,
-                  fac, N: int, fixed: bool, paired: bool):
+def _kdensity_jit(key, logk_tab, logpk_tab, logkf, fac,
+                  N: int, fixed: bool, paired: bool):
     Nh = N // 2 + 1
     kp, ka = jax.random.split(key)
     # phases and amplitude draws for every mode; counter-based => identical
@@ -72,6 +57,32 @@ def _kdensity_jit(key, logk_tab, logpk_tab, logkm, alive, dep, mix, miy,
                                0.0, 2.0 * np.pi)
     ampl = jax.random.uniform(ka, (N, N, Nh), jnp.float32,
                               minval=1.1754944e-38, maxval=1.0)
+
+    # mode geometry, on device from iotas (no N^3 host arrays):
+    # signed mode numbers, empty-mode mask (k=0, Nyquist components,
+    # spherical cutoff, GenIC.c:280-281), log10 |k|
+    ix = jnp.arange(N, dtype=jnp.int32).reshape(N, 1, 1)
+    iy = jnp.arange(N, dtype=jnp.int32).reshape(1, N, 1)
+    iz = jnp.arange(Nh, dtype=jnp.int32).reshape(1, 1, Nh)
+    half = N // 2
+    mx = jnp.where(ix <= half, ix, ix - N)
+    my = jnp.where(iy <= half, iy, iy - N)
+    m2 = mx * mx + my * my + iz * iz
+    alive = (~((jnp.abs(mx) == half) | (jnp.abs(my) == half)
+               | (iz == half))
+             & (m2 > 0) & (m2 <= half * half))
+    logkm = logkf + 0.5 * jnp.log10(jnp.maximum(m2, 1).astype(jnp.float32))
+
+    # Hermitian symmetry on the kz=0 plane: a mode (ix, iy, 0) is
+    # 'dependent' when ix > N/2, or ix == 0 and iy > N/2: it takes the
+    # mirrored mode's draws with conjugation (GenIC.c:293-368)
+    ix2 = ix[:, :, 0]
+    iy2 = iy[0, :, :].reshape(1, N)
+    dep = (ix2 > half) | ((ix2 == 0) & (iy2 > half))
+    mix = (N - ix2) % N
+    miy = (N - iy2) % N
+    mix, miy = (jnp.broadcast_to(mix, (N, N)),
+                jnp.broadcast_to(miy, (N, N)))
 
     # Hermitian symmetry on the kz=0 plane: dependent modes reuse the
     # mirrored mode's draws and conjugate
@@ -96,28 +107,10 @@ def _kdensity_jit(key, logk_tab, logpk_tab, logkm, alive, dep, mix, miy,
 def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
                       fixed: bool = False, paired: bool = False):
     """delta(k) on the rfftn grid [N, N, N//2+1], complex64."""
-    N = grid.N
-    Nh = N // 2 + 1
     logk_tab, logpk_tab = pk_table(cosmo, grid)
     key = jax.random.PRNGKey(seed)
-
-    dep, mix, miy = _hermitian_maps(N)
-
-    # physical |k| per mode (host, fp64) and empty-mode mask:
-    # k=0, any Nyquist component, spherical cutoff beyond N/2
-    m2 = mode_radius_sq(N)
     kf = 2.0 * math.pi / grid.BoxSize
-    kmag = kf * np.sqrt(m2)
-    with np.errstate(divide="ignore"):
-        logkm = np.log10(np.where(kmag > 0, kmag, 1.0)).astype(np.float32)
-    mi = signed_modes(N)
-    nyq_x = (np.abs(mi) == N // 2)[:, None, None]
-    nyq_y = (np.abs(mi) == N // 2)[None, :, None]
-    nyq_z = (np.arange(Nh) == N // 2)[None, None, :]
-    alive = ~(nyq_x | nyq_y | nyq_z) & (m2 > 0) & (m2 <= (N // 2) ** 2)
-
-    fac = grid.BoxSize ** -1.5 * float(N) ** 3
-    return _kdensity_jit(key, logk_tab, logpk_tab, jnp.asarray(logkm),
-                         jnp.asarray(alive), jnp.asarray(dep),
-                         jnp.asarray(mix), jnp.asarray(miy),
-                         jnp.float32(fac), N, bool(fixed), bool(paired))
+    fac = grid.BoxSize ** -1.5 * float(grid.N) ** 3
+    return _kdensity_jit(key, logk_tab, logpk_tab,
+                         jnp.float32(math.log10(kf)), jnp.float32(fac),
+                         grid.N, bool(fixed), bool(paired))

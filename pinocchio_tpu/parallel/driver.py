@@ -8,6 +8,8 @@ Works over either decomposition (slab 1-D mesh / pencil 2-D mesh).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,182 @@ def build_displacement_step(decomp):
     """Zel'dovich displacement stack from the sharded kdensity."""
     first = pfft.distributed_first_derivatives(decomp)
     return jax.jit(lambda kden, growth: first(kden, growth))
+
+
+def build_kdensity(decomp, grid, cosmo, seed: int,
+                   fixed: bool = False, paired: bool = False):
+    """delta(k) generated directly into the decomposition's k layout.
+
+    The counter-based threefry draws partition under jit (each shard
+    computes only its modes), so the realized field is bit-identical to the
+    single-chip generator for any mesh — the reference's seed-plane
+    task-count invariance (GenIC.c:482-1143) by construction.
+    """
+    import math
+
+    from ..ic import _kdensity_jit, pk_table
+
+    N = grid.N
+    Nh = N // 2 + 1
+    logk_tab, logpk_tab = pk_table(cosmo, grid)
+    kf = 2.0 * math.pi / grid.BoxSize
+    fac = grid.BoxSize ** -1.5 * float(N) ** 3
+    padz = decomp.k_global_shape[2] - Nh
+
+    @partial(jax.jit, out_shardings=decomp.kspace_sharding())
+    def gen(key):
+        k = _kdensity_jit.__wrapped__(
+            key, logk_tab, logpk_tab, jnp.float32(math.log10(kf)),
+            jnp.float32(fac), N, bool(fixed), bool(paired))
+        return jnp.pad(k, ((0, 0), (0, 0), (0, padz)))
+
+    return gen(jax.random.PRNGKey(seed))
+
+
+def build_fmax_loop(decomp, nsmooth: int):
+    """The full smoothing-radius cycle as ONE sharded device program:
+    lax.scan over radii, each iteration 6 distributed derivative FFTs +
+    the elementwise collapse update (the multi-chip analog of
+    fmax.fmax_loop; fmax.c:66-150)."""
+    N = decomp.N
+    second = pfft.distributed_second_derivatives(decomp)
+    rshard = jax.sharding.NamedSharding(decomp.mesh, decomp.real_spec)
+
+    @jax.jit
+    def loop(kden, radii_grid, invgrow_packs):
+        Fmax0 = jax.lax.with_sharding_constraint(
+            jnp.full((N, N, N), -10.0, jnp.float32), rshard)
+        Rmax0 = jax.lax.with_sharding_constraint(
+            jnp.full((N, N, N), -1, jnp.int32), rshard)
+        sd0 = jnp.zeros((6, N, N, N), jnp.float32)
+
+        def body(carry, xs):
+            Fmax, Rmax, _ = carry
+            R_grid, ism, pack = xs
+            sd = second(kden, R_grid)
+            Fmax, Rmax, d_avg, d_var = collapse.collapse_update.__wrapped__(
+                sd, Fmax, Rmax, ism, pack)
+            return (Fmax, Rmax, sd), (d_avg, d_var)
+
+        xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32),
+              invgrow_packs)
+        (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
+            body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
+        return Fmax, Rmax, avgs, variances, sd
+
+    return loop
+
+
+def distributed_lpt_sources(decomp):
+    """2LPT/3LPT k-space sources from the sharded R=0 Hessian stack:
+    pointwise products per shard + distributed forward/derivative FFTs
+    (the multi-chip analog of ops.lpt.lpt_sources; LPT.c:32-172)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(sd):
+        XX, YY, ZZ, XY, XZ, YZ = range(6)
+        src2 = (sd[XX] * sd[YY] + sd[XX] * sd[ZZ] + sd[YY] * sd[ZZ]
+                - sd[XY] * sd[XY] - sd[XZ] * sd[XZ] - sd[YZ] * sd[YZ])
+        src31 = 3.0 * (sd[XX] * (sd[YY] * sd[ZZ] - sd[YZ] * sd[YZ])
+                       - sd[XY] * (sd[XY] * sd[ZZ] - sd[XZ] * sd[YZ])
+                       + sd[XZ] * (sd[XY] * sd[YZ] - sd[XZ] * sd[YY]))
+        src32 = 2.0 * (sd[XX] + sd[YY] + sd[ZZ]) * src2
+
+        kvec2 = decomp.fwd_local(src2)
+        kx, ky, kz = decomp.local_kvectors()
+        k2 = kx * kx + ky * ky + kz * kz
+        base2 = kvec2 * pfft._safe_inv(k2).astype(jnp.float32)
+        kvecs = (kx, ky, kz)
+        pairs = ((0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0),
+                 (0, 1, 2.0), (0, 2, 2.0), (1, 2, 2.0))
+        for ider, (ia, ib, w) in enumerate(pairs):
+            phi2_ij = decomp.inv_local(base2 * (kvecs[ia] * kvecs[ib]))
+            src32 = src32 - 2.0 * w * phi2_ij * sd[ider]
+
+        return kvec2, decomp.fwd_local(src31), decomp.fwd_local(src32)
+
+    return pfft.shard_map_fn(
+        decomp.mesh, local, P(None, *decomp.real_spec),
+        (decomp.k_spec, decomp.k_spec, decomp.k_spec))
+
+
+def build_displacement_stage(decomp, order: int):
+    """All LPT displacement stacks as one sharded program (the multi-chip
+    displacement_stage; compute_displacements, fmax.c:292-367)."""
+    first = pfft.distributed_first_derivatives(decomp)
+    sources = distributed_lpt_sources(decomp)
+
+    @jax.jit
+    def stage(kden, sd, growths):
+        D1, D2, D31, D32 = growths
+        out = {}
+        if order >= 2:
+            kvec2, kvec31, kvec32 = sources(sd)
+            out["v2"] = first(kvec2, D2)
+            if order >= 3:
+                out["v31"] = first(kvec31, D31)
+                out["v32"] = first(kvec32, D32)
+        out["v1"] = first(kden, D1)
+        return out
+
+    return stage
+
+
+def run_fmax_distributed(params, cosmo, mesh: Mesh, verbose: bool = True):
+    """Multi-chip run_fmax: IC generation, the smoothing cycle and the LPT
+    stage all sharded over the mesh.  Returns the same FmaxResult the
+    single-chip path produces (arrays carry mesh shardings; np.asarray
+    gathers)."""
+    import time
+
+    from ..fmax import FmaxResult, Products, Smoothing
+    from ..grids import Grid
+
+    grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
+    N = grid.N
+    decomp = pfft.make_decomp(mesh, N)
+    sm = Smoothing.build(params, cosmo)
+    timings = {}
+
+    t0 = time.perf_counter()
+    kden = build_kdensity(decomp, grid, cosmo, params.RandomSeed,
+                          fixed=params.FixedIC, paired=params.PairedIC)
+    kden.block_until_ready()
+    timings["dens"] = time.perf_counter() - t0
+
+    packs = np.tile(collapse.make_inverse_growth_fit(cosmo)[None, :],
+                    (sm.n, 1))
+    t0 = time.perf_counter()
+    radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
+    loop = build_fmax_loop(decomp, sm.n)
+    Fmax, Rmax, d_avgs, d_vars, sd = loop(kden, radii_grid,
+                                          jnp.asarray(packs))
+    sm.true_variance[:] = np.asarray(d_vars)
+    timings["fmax_loop"] = time.perf_counter() - t0
+    if verbose:
+        import math
+        for ism in range(sm.n):
+            print(f"  smoothing {ism + 1}/{sm.n}: R={sm.radii[ism]:9.5f} "
+                  f"expected sigma {math.sqrt(sm.variance[ism]):7.4f} "
+                  f"computed "
+                  f"{math.sqrt(max(sm.true_variance[ism], 0.0)):7.4f}")
+
+    t0 = time.perf_counter()
+    z0 = params.zlast if not params.recompute_displacements \
+        else params.output_z[0]
+    growths = (jnp.float32(cosmo.GrowingMode(z0)),
+               jnp.float32(cosmo.GrowingMode_2LPT(z0)),
+               jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
+               jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
+    vel = build_displacement_stage(decomp, params.lpt_order)(
+        kden, sd, growths)
+    for v in vel.values():
+        v.block_until_ready()
+    timings["lpt"] = time.perf_counter() - t0
+
+    products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
+    return FmaxResult(products=products, smoothing=sm, grid=grid,
+                      kdensity=kden, timings=timings)
 
 
 def demo_step(mesh: Mesh, N: int = 32, seed: int = 1):

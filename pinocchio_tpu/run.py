@@ -19,7 +19,7 @@ from .cosmology import Cosmology
 
 
 def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
-                 write_outputs: bool = True):
+                 write_outputs: bool = True, chips: int = None):
     from .fmax import run_fmax, fmax_pdf
     from .fragment.driver import run_fragmentation
     from .io import catalogs as io_cat
@@ -57,6 +57,21 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         fmax_res = io_dumps.read_dumps(params, outdir)
         if verbose:
             print("[fmax] products read from dumps")
+    elif chips and chips > 1:
+        # mesh-sharded device pipeline (slab for prime counts, else pencil)
+        if scaledep_gm is not None or params.ell_model != "classic" \
+                or params.recompute_displacements:
+            raise NotImplementedError(
+                "multi-chip fmax supports the classic single-segment "
+                "collapse path; run these features single-chip")
+        from .parallel import pfft
+        from .parallel.driver import run_fmax_distributed
+        mesh = (pfft.make_pencil_mesh(chips) if chips >= 4
+                and chips % 2 == 0 else pfft.make_mesh(chips))
+        if verbose:
+            print(f"[fmax] sharded over mesh {dict(mesh.shape)}")
+        fmax_res = run_fmax_distributed(params, cosmo, mesh,
+                                        verbose=verbose)
     else:
         fmax_res = run_fmax(params, cosmo, scaledep_gm=scaledep_gm,
                             verbose=verbose)
@@ -181,6 +196,9 @@ def main(argv=None):
                     "device->host product transfer (default: auto, on "
                     "for TPU backends)")
     ap.add_argument("--no-sparse", dest="sparse", action="store_false")
+    ap.add_argument("--chips", type=int, default=None,
+                    help="shard the fmax phase over this many devices "
+                    "(pencil mesh when the count factors)")
     args = ap.parse_args(argv)
 
     from .backend import setup
@@ -200,7 +218,7 @@ def main(argv=None):
     if args.mode is not None:
         run_special_mode(params, args.mode, outdir=args.outdir)
     else:
-        run_pipeline(params, outdir=args.outdir)
+        run_pipeline(params, outdir=args.outdir, chips=args.chips)
 
 
 if __name__ == "__main__":

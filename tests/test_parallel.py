@@ -76,6 +76,62 @@ def test_second_derivatives_match_single_chip(name, mesh):
     assert np.abs(got - ref).max() < 2e-4 * scale
 
 
+@pytest.fixture(scope="module")
+def small_setup():
+    from pinocchio_tpu.config import read_parameter_file
+    from pinocchio_tpu.cosmology import Cosmology
+    p = read_parameter_file("/root/reference/HMF_Validation/parameter_file",
+                            norad=True, plc_enabled=False)
+    p.GridSize = N
+    p.BoxSize = float(N)
+    return p, Cosmology(p)
+
+
+def test_distributed_kdensity_bitexact(small_setup):
+    """The sharded IC generator realizes the SAME field as single-chip for
+    any mesh: the reference's seed-plane task-count invariance
+    (GenIC.c:482-1143), here exact because threefry is counter-based."""
+    from pinocchio_tpu.grids import Grid
+    from pinocchio_tpu.ic import generate_kdensity
+    from pinocchio_tpu.parallel.driver import build_kdensity
+    p, cosmo = small_setup
+    grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
+    ref = np.asarray(generate_kdensity(grid, cosmo, p.RandomSeed))
+    Nh = N // 2 + 1
+    for mesh in (pfft.make_mesh(8), pfft.make_pencil_mesh(8)):
+        d = pfft.make_decomp(mesh, N)
+        got = np.asarray(build_kdensity(d, grid, cosmo,
+                                        p.RandomSeed))[:, :, :Nh]
+        assert np.array_equal(got, ref)
+
+
+def test_run_fmax_distributed_matches_single_chip(small_setup):
+    """Full sharded fmax (IC + radius scan + LPT) vs the single-chip path:
+    displacements at fp32 roundoff; Fmax statistically identical (the
+    branchy ellipsoid solve may flip a handful of near-degenerate cells
+    when the FFT summation order changes, as with the reference's MPI
+    decompositions)."""
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p, cosmo = small_setup
+    ref = run_fmax(p, cosmo, verbose=False)
+    F_ref = np.asarray(ref.products.Fmax)
+    r = run_fmax_distributed(p, cosmo, pfft.make_pencil_mesh(8),
+                             verbose=False)
+    F = np.asarray(r.products.Fmax)
+    for key in ref.products.vel:
+        a = np.asarray(ref.products.vel[key])
+        b = np.asarray(r.products.vel[key])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1e-3), key
+    assert np.allclose(r.smoothing.true_variance,
+                       ref.smoothing.true_variance, rtol=1e-4)
+    nflip = int((np.abs(F - F_ref) > 0.1).sum())
+    assert nflip < 30, f"{nflip} collapse-branch flips"
+    c_ref = int((F_ref >= 1.0).sum())
+    c = int((F >= 1.0).sum())
+    assert abs(c - c_ref) <= max(5, c_ref // 1000)
+
+
 def test_demo_step_pencil():
     Fmax, Rmax, disp = demo_step(pfft.make_pencil_mesh(8), N=N)
     assert Fmax.shape == (N, N, N)
