@@ -127,11 +127,44 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
 
     timings["total"] = time.perf_counter() - t_total
     if verbose:
-        print(f"[done] total {timings['total']:.2f}s  "
-              f"(fmax loop {timings.get('fmax_fmax_loop', 0):.2f}s, "
-              f"sweep {timings.get('frag_sweep', 0):.2f}s)")
+        write_cputimes(timings)
     return dict(cosmo=cosmo, fmax=fmax_res, frag=frag_res,
                 timings=timings, files=written)
+
+
+def write_cputimes(t: dict, fd=None):
+    """Hierarchical wall-clock report at exit, the analog of the
+    reference's cputime block (write_cputimes, pinocchio.c:266-292)."""
+    import sys
+    fd = fd or sys.stdout
+    total = t.get("total", 0.0) or 1e-30
+
+    def line(label, key, depth=0):
+        if key not in t:
+            return
+        v = t[key]
+        fd.write(f"{'  ' * depth}{label:<28s}{v:10.2f} s"
+                 f"  ({100.0 * v / total:5.1f}%)\n")
+
+    fd.write("\nCPU TIMES\n")
+    line("total", "total")
+    line("initialization", "init", 1)
+    line("scale-dependent growth", "scaledep", 1)
+    fmax_sum = sum(v for k, v in t.items() if k.startswith("fmax_"))
+    if fmax_sum:
+        fd.write(f"  {'fmax':<26s}{fmax_sum:10.2f} s"
+                 f"  ({100.0 * fmax_sum / total:5.1f}%)\n")
+    line("density in k-space", "fmax_dens", 2)
+    line("collapse cycle (FFTs+ell)", "fmax_fmax_loop", 2)
+    line("LPT displacements", "fmax_lpt", 2)
+    frag_sum = t.get("frag_total", 0.0)
+    if frag_sum:
+        fd.write(f"  {'fragmentation':<26s}{frag_sum:10.2f} s"
+                 f"  ({100.0 * frag_sum / total:5.1f}%)\n")
+    line("transfer+sort", "frag_sort", 2)
+    line("peak counting", "frag_peaks", 2)
+    line("group sweep (+PLC)", "frag_sweep", 2)
+    line("I/O", "io", 1)
 
 
 def run_special_mode(params: Params, mode: int, outdir: str = ".",
