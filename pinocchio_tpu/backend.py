@@ -40,3 +40,44 @@ def rfft3(x):
 def irfft3(k, n: int):
     """3-D c2r transform, layout [N, N, N//2+1] -> [N, N, N]."""
     return jnp.fft.irfft(jnp.fft.ifft2(k, axes=(0, 1)), n=n, axis=2)
+
+
+# --- z-axis inverse DFT as an MXU matmul -------------------------------
+# On TPU the length-N c2r axis is faster as two real matmuls against a
+# [N//2+1, N] cosine/sine basis than as an FFT: the contraction rides the
+# systolic array while the FFT butterflies are VPU/memory bound.  Measured
+# (scripts/exp_fft_variants.py, v5e): full Hessian 57->37 ms at 256^3,
+# 402->250 ms at 512^3, max rel error 2e-7 at precision=HIGHEST.
+# Flops scale N^4 vs N^3 log N, so the default gates at N<=512.
+
+_ZMM_N_MAX = 512
+
+
+def use_zmm(N: int) -> bool:
+    """Whether irfft3_zmm should replace irfft3 (decided at trace time)."""
+    return (jax.default_backend() not in ("cpu",)) and N <= _ZMM_N_MAX
+
+
+def _zdft_bases(N: int):
+    """Inverse-rfft bases C, S [N//2+1, N] with exact mod-N angle
+    reduction (m*z mod N stays in int32, so float32 cos/sin see arguments
+    <= 2*pi and keep full precision)."""
+    Nh = N // 2 + 1
+    m = jnp.arange(Nh, dtype=jnp.int32).reshape(Nh, 1)
+    z = jnp.arange(N, dtype=jnp.int32).reshape(1, N)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((m * z) % N, jnp.float32)
+    w = jnp.where((m == 0) | (m == N // 2), 1.0, 2.0).astype(jnp.float32) / N
+    return w * jnp.cos(ang), -w * jnp.sin(ang)
+
+
+def irfft3_zmm(k, n: int):
+    """irfft3 with the z-axis c2r as two HIGHEST-precision real matmuls."""
+    C, S = _zdft_bases(n)
+    u = jnp.fft.ifft2(k, axes=(0, 1))
+    return (jnp.matmul(jnp.real(u), C, precision="highest")
+            + jnp.matmul(jnp.imag(u), S, precision="highest"))
+
+
+def irfft3_auto(k, n: int):
+    """irfft3 via the fastest available path for this platform/size."""
+    return irfft3_zmm(k, n) if use_zmm(n) else irfft3(k, n)

@@ -33,6 +33,47 @@ HISTORIES_DTYPE = np.dtype([("name", "<u8"), ("nick", "<i4"), ("ll", "<i4"),
                             ("zme", "<f4"), ("zpe", "<f4"), ("zap", "<f4")])
 
 
+def _fastio():
+    """Native row formatters (native/fastio.c); None if the toolchain is
+    unavailable (writers fall back to Python loops)."""
+    import ctypes
+    try:
+        from .. import native
+        lib = native.load("fastio")
+    except Exception:
+        return None
+    if not getattr(lib, "_sigs_set", False):
+        i64, i32, u64 = ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64
+        p = ctypes.POINTER
+        lib.catalog_rows.restype = ctypes.c_int
+        lib.catalog_rows.argtypes = [
+            ctypes.c_char_p, i64, p(u64), p(ctypes.c_float),
+            p(ctypes.c_float), p(ctypes.c_float), p(ctypes.c_float), p(i32)]
+        lib.plc_rows.restype = ctypes.c_int
+        lib.plc_rows.argtypes = [ctypes.c_char_p, i64, p(u64),
+                                 p(ctypes.c_double)]
+        lib.histories_build.restype = i64
+        lib.histories_build.argtypes = [
+            i64, i32, p(i32), p(u64), p(i32), p(i32), p(i32), p(i32),
+            p(ctypes.c_float), p(ctypes.c_float), p(ctypes.c_float),
+            p(ctypes.c_uint8),
+            p(u64), p(i32), p(i32), p(i32), p(i32), p(i32),
+            p(ctypes.c_float), p(ctypes.c_float), p(ctypes.c_float),
+            p(i32), p(i32), p(i64)]
+        lib.histories_rows.restype = ctypes.c_int
+        lib.histories_rows.argtypes = [
+            ctypes.c_char_p, i64, p(i32), p(u64), p(i32), p(i32), p(i32),
+            p(i32), p(i32), p(ctypes.c_float), p(ctypes.c_float),
+            p(ctypes.c_float)]
+        lib._sigs_set = True
+    return lib
+
+
+def _ptr(arr, ctype):
+    import ctypes
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
 def largest_halo_mass(params: Params, cosmo: Cosmology) -> float:
     """Largest halo expected in the box (set_subboxes,
     initialization.c:940-948)."""
@@ -97,12 +138,29 @@ def write_catalog(params: Params, snap: CatalogSnapshot,
             fd.write(f"# 9-11) velocity (km/s)\n")
             fd.write(f"#   12) number of particles\n")
             fd.write("#\n")
-            for i in range(n):
-                fd.write(" %12lu %13.6e %10.2f %10.2f %10.2f %10.2f %10.2f "
-                         "%10.2f %10.2f %10.2f %10.2f %12d\n"
-                         % (snap.name[i], M[i], q[i, 0], q[i, 1], q[i, 2],
-                            x[i, 0], x[i, 1], x[i, 2],
-                            v[i, 0], v[i, 1], v[i, 2], snap.mass[i]))
+        import ctypes
+        lib = _fastio()
+        if lib is not None:
+            name = np.ascontiguousarray(snap.name, np.uint64)
+            npart = np.ascontiguousarray(snap.mass, np.int32)
+            qc = np.ascontiguousarray(q, np.float32)
+            xc = np.ascontiguousarray(x, np.float32)
+            vc = np.ascontiguousarray(v, np.float32)
+            rc = lib.catalog_rows(
+                path.encode(), n, _ptr(name, ctypes.c_uint64),
+                _ptr(np.ascontiguousarray(M, np.float32), ctypes.c_float),
+                _ptr(qc, ctypes.c_float), _ptr(xc, ctypes.c_float),
+                _ptr(vc, ctypes.c_float), _ptr(npart, ctypes.c_int32))
+            if rc != 0:
+                raise OSError(f"catalog_rows failed for {path}")
+        else:
+            with open(path, "a") as fd:
+                for i in range(n):
+                    fd.write(" %12lu %13.6e %10.2f %10.2f %10.2f %10.2f "
+                             "%10.2f %10.2f %10.2f %10.2f %10.2f %12d\n"
+                             % (snap.name[i], M[i], q[i, 0], q[i, 1],
+                                q[i, 2], x[i, 0], x[i, 1], x[i, 2],
+                                v[i, 0], v[i, 1], v[i, 2], snap.mass[i]))
     else:
         rec = np.zeros(n, CATALOG_DTYPE)
         rec["name"] = snap.name
@@ -193,10 +251,60 @@ def compute_mf(params: Params, cosmo: Cosmology, snap: CatalogSnapshot,
     return path
 
 
+def build_histories_flat(groups: GroupState, min_halo_mass: int):
+    """Native merger-tree walk: returns (treelen[i32], rec[HISTORIES_DTYPE])
+    with branches laid out consecutively per tree."""
+    import ctypes
+    lib = _fastio()
+    ng = groups.ngroups
+    if lib is None or ng == 0:
+        trees = build_histories(groups, min_halo_mass)
+        treelen = np.array([len(t) for t in trees], np.int32)
+        rec = (np.concatenate(trees) if trees
+               else np.zeros(0, HISTORIES_DTYPE))
+        return treelen, rec
+    cap = ng + 1
+    f4, i4, u8 = np.float32, np.int32, np.uint64
+    o = dict(name=np.zeros(cap, u8), nick=np.zeros(cap, i4),
+             ll=np.zeros(cap, i4), mw=np.zeros(cap, i4),
+             mass=np.zeros(cap, i4), mam=np.zeros(cap, i4),
+             zme=np.zeros(cap, f4), zpe=np.zeros(cap, f4),
+             zap=np.zeros(cap, f4))
+    treelen = np.zeros(cap, i4)
+    trackC = np.zeros(cap, i4)
+    nb_out = np.zeros(1, np.int64)
+
+    def c(a, t):
+        return _ptr(np.ascontiguousarray(a), t)
+
+    cf, ci, cu = ctypes.c_float, ctypes.c_int32, ctypes.c_uint64
+    g = groups
+    ins = [c(np.asarray(g.mass, i4), ci), c(np.asarray(g.name, u8), cu),
+           c(np.asarray(g.halo_app, i4), ci), c(np.asarray(g.ll, i4), ci),
+           c(np.asarray(g.merged_with, i4), ci),
+           c(np.asarray(g.mass_at_merger, i4), ci),
+           c(np.asarray(g.t_appear, f4), cf),
+           c(np.asarray(g.t_peak, f4), cf),
+           c(np.asarray(g.t_merge, f4), cf),
+           c(np.asarray(g.good, np.uint8), ctypes.c_uint8)]
+    ntrees = lib.histories_build(
+        ng, int(min_halo_mass), *ins,
+        c(o["name"], cu), c(o["nick"], ci), c(o["ll"], ci), c(o["mw"], ci),
+        c(o["mass"], ci), c(o["mam"], ci), c(o["zme"], cf),
+        c(o["zpe"], cf), c(o["zap"], cf), c(treelen, ci), c(trackC, ci),
+        _ptr(nb_out, ctypes.c_int64))
+    nb = int(nb_out[0])
+    rec = np.zeros(nb, HISTORIES_DTYPE)
+    for k in o:
+        rec[k] = o[k][:nb]
+    return treelen[:ntrees], rec
+
+
 def build_histories(groups: GroupState, min_halo_mass: int):
     """Assemble the per-tree branch catalog (write_histories,
     write_halos.c:897-966): trees are walked from each main halo along the
-    circular ll list; nicknames are per-tree indices."""
+    circular ll list; nicknames are per-tree indices.  (Python reference
+    implementation; the native walk in fastio.c is used in production.)"""
     ng = groups.ngroups
     mask_main = np.zeros(ng + 1, bool)
     for i in range(FILAMENT + 1, ng + 1):
@@ -249,11 +357,14 @@ def write_histories(params: Params, groups,
                     directory: str = ".") -> str:
     """groups: a GroupState or a list of them (one per sub-box)."""
     group_list = groups if isinstance(groups, list) else [groups]
-    trees = []
-    for gs in group_list:
-        trees.extend(build_histories(gs, params.MinHaloMass))
-    ntrees = len(trees)
-    nbranch = sum(len(t) for t in trees)
+    parts = [build_histories_flat(gs, params.MinHaloMass)
+             for gs in group_list]
+    treelen = np.concatenate([p[0] for p in parts]) if parts \
+        else np.zeros(0, np.int32)
+    rec = np.concatenate([p[1] for p in parts]) if parts \
+        else np.zeros(0, HISTORIES_DTYPE)
+    ntrees = len(treelen)
+    nbranch = len(rec)
     path = os.path.join(directory,
                         f"pinocchio.{params.RunFlag}.histories.out")
     if params.CatalogInAscii:
@@ -272,19 +383,40 @@ def write_histories(params: Params, groups,
                          "minimal mass", "#", "# Ntrees & Nbranches: "):
                 fd.write(line + "\n")
             fd.write(f" {ntrees}  {nbranch}\n")
-            for itree, rec in enumerate(trees):
-                fd.write(f"#Tree {itree}, Nbranches={len(rec)}\n")
-                for r in rec:
-                    fd.write(" %12d %6d %6d %6d %9d %9d %9.4f %9.4f %9.4f\n"
-                             % (r["name"], r["nick"], r["ll"], r["mw"],
-                                r["mass"], r["mam"], r["zme"], r["zpe"],
-                                r["zap"]))
+        import ctypes
+        lib = _fastio()
+        if lib is not None:
+            cols = {k: np.ascontiguousarray(rec[k]) for k in
+                    ("name", "nick", "ll", "mw", "mass", "mam",
+                     "zme", "zpe", "zap")}
+            cf, ci = ctypes.c_float, ctypes.c_int32
+            rc = lib.histories_rows(
+                path.encode(), ntrees,
+                _ptr(np.ascontiguousarray(treelen), ci),
+                _ptr(cols["name"], ctypes.c_uint64),
+                _ptr(cols["nick"], ci), _ptr(cols["ll"], ci),
+                _ptr(cols["mw"], ci), _ptr(cols["mass"], ci),
+                _ptr(cols["mam"], ci), _ptr(cols["zme"], cf),
+                _ptr(cols["zpe"], cf), _ptr(cols["zap"], cf))
+            if rc != 0:
+                raise OSError(f"histories_rows failed for {path}")
+        else:
+            with open(path, "a") as fd:
+                base = 0
+                for itree, nb in enumerate(treelen):
+                    fd.write(f"#Tree {itree}, Nbranches={nb}\n")
+                    for r in rec[base:base + nb]:
+                        fd.write(" %12d %6d %6d %6d %9d %9d %9.4f %9.4f "
+                                 "%9.4f\n"
+                                 % (r["name"], r["nick"], r["ll"], r["mw"],
+                                    r["mass"], r["mam"], r["zme"],
+                                    r["zpe"], r["zap"]))
+                    base += nb
     else:
         with open(path, "wb") as fd:
             _write_record(fd, np.array([HISTORIES_DTYPE.itemsize], "<i4"))
             _write_record(fd, np.array([ntrees, nbranch], "<i4"))
-            _write_record(fd, np.array([len(t) for t in trees], "<i4"))
+            _write_record(fd, np.asarray(treelen, "<i4"))
             if nbranch:
-                _write_record(fd, np.concatenate(trees)
-                              if trees else np.zeros(0, HISTORIES_DTYPE))
+                _write_record(fd, rec)
     return path

@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..backend import irfft3
+from ..backend import irfft3_auto as irfft3
 from ..grids import k_grid_units
 
 SECOND_DERIV_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
@@ -98,12 +98,8 @@ def first_derivatives_tab(kvector, gtab, glo, gdx, N: int):
     w = t - i.astype(jnp.float32)
     growth = gtab[i] * (1.0 - w) + gtab[i + 1] * w
     base = kvector * (1j * growth) * inv_k2.astype(jnp.float32)
-    return jnp.stack([jnp.fft.irfft(jnp.fft.ifft2(base * kx, axes=(0, 1)),
-                                    n=N, axis=2),
-                      jnp.fft.irfft(jnp.fft.ifft2(base * ky, axes=(0, 1)),
-                                    n=N, axis=2),
-                      jnp.fft.irfft(jnp.fft.ifft2(base * kz, axes=(0, 1)),
-                                    n=N, axis=2)])
+    return jnp.stack([irfft3(base * kx, N), irfft3(base * ky, N),
+                      irfft3(base * kz, N)])
 
 
 @partial(jax.jit, static_argnames=("N",))

@@ -21,7 +21,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..backend import irfft3, rfft3
+from ..backend import rfft3
+from ..backend import irfft3_auto as irfft3
 from ..grids import k_grid_units
 from .derivatives import first_derivatives
 

@@ -298,13 +298,26 @@ def write_plc_catalog(params: Params, geom: PlcGeometry, plc_data: dict,
                          "#   12) peculiar velocity along the line-of-sight "
                          "(km/s)", "#   13) observed redshift", "#"):
                 fd.write(line + "\n")
-            for i in range(n):
-                fd.write(" %12lu %16.6f %16.6f %16.6f %16.6f %16.6f %16.6f "
-                         "%16.6f %15.8e %16.6f %16.6f %16.6f %16.6f\n"
-                         % (plc_data["name"][i], plc_data["z"][i],
-                            x[i, 0] * hfac, x[i, 1] * hfac, x[i, 2] * hfac,
-                            v[i, 0], v[i, 1], v[i, 2], M[i],
-                            theta[i], phi[i], v_los[i], obsz[i]))
+        from .io.catalogs import _fastio, _ptr
+        import ctypes
+        lib = _fastio()
+        cols = np.column_stack([
+            plc_data["z"], x * hfac, v, M, theta, phi, v_los, obsz
+        ]).astype(np.float64)
+        name = np.ascontiguousarray(plc_data["name"], np.uint64)
+        if lib is not None:
+            rc = lib.plc_rows(path.encode(), n,
+                              _ptr(name, ctypes.c_uint64),
+                              _ptr(np.ascontiguousarray(cols),
+                                   ctypes.c_double))
+            if rc != 0:
+                raise OSError(f"plc_rows failed for {path}")
+        else:
+            with open(path, "a") as fd:
+                for i in range(n):
+                    fd.write(" %12lu %16.6f %16.6f %16.6f %16.6f %16.6f "
+                             "%16.6f %16.6f %15.8e %16.6f %16.6f %16.6f "
+                             "%16.6f\n" % ((name[i],) + tuple(cols[i])))
     else:
         dtype = np.dtype([("name", "<u8"), ("red", "<f4"), ("x", "<f4"),
                           ("y", "<f4"), ("z", "<f4"), ("vx", "<f4"),

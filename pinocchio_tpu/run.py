@@ -103,14 +103,25 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     written = []
     if write_outputs:
         t0 = time.perf_counter()
+
+        def tick(key):
+            now = time.perf_counter()
+            timings[key] = timings.get(key, 0.0) + now - tick.last
+            tick.last = now
+        tick.last = t0
+
         largest = io_cat.largest_halo_mass(params, cosmo)
+        tick("io_largest")
         for snap in frag_res.catalogs:
             written.append(io_cat.write_catalog(params, snap, outdir))
+            tick("io_catalog")
             written.append(io_cat.compute_mf(params, cosmo, snap, outdir,
                                              largest=largest))
+            tick("io_mf")
         if not params.DoNotWriteHistories:
             written.append(io_cat.write_histories(params, frag_res.groups,
                                                   outdir))
+            tick("io_histories")
         if frag_res.plc is not None and not params.DoNotWriteCatalogs:
             written.append(write_plc_catalog(
                 params, plc_geom,
@@ -119,10 +130,12 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                      v=frag_res.plc.v), outdir))
             written.append(write_nz(params, cosmo, plc_geom,
                                     frag_res.plc.nz, outdir))
+            tick("io_plc")
         if params.WriteTimelessSnapshot:
             from .io.snapshot import write_timeless_snapshot
             written.append(write_timeless_snapshot(params, fmax_res,
                                                    frag_res, outdir))
+            tick("io_snapshot")
         timings["io"] = time.perf_counter() - t0
 
     timings["total"] = time.perf_counter() - t_total
@@ -165,6 +178,11 @@ def write_cputimes(t: dict, fd=None):
     line("peak counting", "frag_peaks", 2)
     line("group sweep (+PLC)", "frag_sweep", 2)
     line("I/O", "io", 1)
+    line("catalogs", "io_catalog", 2)
+    line("mass functions", "io_mf", 2)
+    line("histories", "io_histories", 2)
+    line("PLC", "io_plc", 2)
+    line("snapshot", "io_snapshot", 2)
 
 
 def run_special_mode(params: Params, mode: int, outdir: str = ".",

@@ -136,3 +136,55 @@ def test_fits_converter_on_reference_catalog(tmp_path):
     p = convert_catalog_to_fits(dst)
     exts = read_fits(p)
     assert exts[0][1]["NAXIS2"] == 8707
+
+
+def test_native_ascii_writers_match_python(tmp_path):
+    """fastio.c row formatters produce byte-identical files to the Python
+    fallback loops (catalog + histories walk)."""
+    import dataclasses
+    from unittest import mock
+
+    import numpy as np
+
+    from pinocchio_tpu.config import read_parameter_file
+    from pinocchio_tpu.fragment.driver import CatalogSnapshot, GroupState
+    from pinocchio_tpu.io import catalogs as io_cat
+
+    p = read_parameter_file("/root/reference/HMF_Validation/parameter_file",
+                            norad=True, plc_enabled=False)
+    p.CatalogInAscii = True
+    rng = np.random.default_rng(5)
+    n = 500
+    snap = CatalogSnapshot(
+        z=0.0, name=rng.integers(0, 2**40, n).astype(np.uint64),
+        mass=rng.integers(10, 5000, n).astype(np.int32),
+        q=rng.uniform(0, 128, (n, 3)).astype(np.float32),
+        x=rng.uniform(0, 128, (n, 3)).astype(np.float32),
+        v=rng.standard_normal((n, 3)).astype(np.float32) * 300)
+
+    d1, d2 = tmp_path / "native", tmp_path / "python"
+    d1.mkdir(), d2.mkdir()
+    f1 = io_cat.write_catalog(p, snap, str(d1))
+    with mock.patch.object(io_cat, "_fastio", lambda: None):
+        f2 = io_cat.write_catalog(p, snap, str(d2))
+    assert open(f1, "rb").read() == open(f2, "rb").read()
+
+    # a small forest: two trees (2 and 1 branches) + filament slot
+    ng = 4
+    gs = GroupState(
+        ngroups=ng,
+        mass=np.array([0, 0, 120, 40, 80], np.int32),
+        name=np.arange(5).astype(np.uint64) * 7,
+        halo_app=np.array([0, 0, 2, 2, 4], np.int32),
+        ll=np.array([0, 0, 3, 2, 4], np.int32),
+        merged_with=np.array([0, 0, -1, 2, -1], np.int32),
+        mass_at_merger=np.array([0, 0, 0, 25, 0], np.int32),
+        t_appear=np.array([0, 0, 1.5, 1.2, 2.0], np.float32),
+        t_peak=np.array([0, 0, 2.5, 2.2, 3.0], np.float32),
+        t_merge=np.array([0, 0, -1, 1.8, -1], np.float32),
+        good=np.array([0, 0, 1, 1, 1], np.uint8),
+        alive=np.array([0, 0, 1, 0, 1], np.uint8))
+    f1 = io_cat.write_histories(p, gs, str(d1))
+    with mock.patch.object(io_cat, "_fastio", lambda: None):
+        f2 = io_cat.write_histories(p, gs, str(d2))
+    assert open(f1).read() == open(f2).read()
