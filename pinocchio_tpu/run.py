@@ -29,6 +29,8 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     t_total = time.perf_counter()
     timings = {}
 
+    if verbose:
+        greetings(params)
     t0 = time.perf_counter()
     cosmo = Cosmology(params)
     timings["init"] = time.perf_counter() - t0
@@ -143,6 +145,36 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         write_cputimes(timings)
     return dict(cosmo=cosmo, fmax=fmax_res, frag=frag_res,
                 timings=timings, files=written)
+
+
+def greetings(params: Params):
+    """Run banner with the active feature set, the analog of the
+    reference's compile-option greeting (greetings, initialization.c:2030;
+    the ~25 -D directives are runtime switches here)."""
+    import jax
+    feats = [f"{params.lpt_order}LPT", f"ELL_{params.ell_model.upper()}"]
+    if params.norad:
+        feats.append("NORADIATION")
+    for flag, name in ((params.FixedIC, "FixedIC"),
+                       (params.PairedIC, "PairedIC"),
+                       (params.recompute_displacements,
+                        "RECOMPUTE_DISPLACEMENTS"),
+                       (params.WriteTimelessSnapshot, "SNAPSHOT"),
+                       (params.use_sim_params, "USE_SIMULATION_PARAMS")):
+        if flag:
+            feats.append(name)
+    if params.FileWithInputSpectrum == "CAMBTable":
+        feats.append("READ_PK_TABLE+SCALE_DEPENDENT")
+    if params.mod_grav_fr:
+        feats.append("MOD_GRAV_FR")
+    print("*" * 64)
+    print("pinocchio-tpu: TPU-native PINOCCHIO V5.1 rebuild")
+    print(f"  run {params.RunFlag}: {params.GridSize}^3 grid, "
+          f"{params.BoxSize:g} Mpc{'/h' if params.BoxInH100 else ''} box")
+    print(f"  features: {' '.join(feats)}")
+    print(f"  backend: {jax.default_backend()} "
+          f"({len(jax.devices())} device(s))")
+    print("*" * 64)
 
 
 def write_cputimes(t: dict, fd=None):
