@@ -70,6 +70,15 @@ def _zdft_bases(N: int):
     return w * jnp.cos(ang), -w * jnp.sin(ang)
 
 
+def irfft_z(k, n: int):
+    """c2r along the LAST axis via the fastest path (any leading dims)."""
+    if use_zmm(n):
+        C, S = _zdft_bases(n)
+        return (jnp.matmul(jnp.real(k), C, precision="highest")
+                + jnp.matmul(jnp.imag(k), S, precision="highest"))
+    return jnp.fft.irfft(k, n=n, axis=-1)
+
+
 def irfft3_zmm(k, n: int):
     """irfft3 with the z-axis c2r as two HIGHEST-precision real matmuls."""
     C, S = _zdft_bases(n)

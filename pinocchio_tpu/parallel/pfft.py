@@ -103,11 +103,12 @@ class SlabDecomp:
 
     def inv_local(self, k):
         """local [N, N/p, Nh] complex -> local [N/p, N, N] real."""
+        from ..backend import irfft_z
         k = jnp.fft.ifft(k, axis=0)
         k = jax.lax.all_to_all(k, AX, split_axis=0, concat_axis=1,
                                tiled=True)
         k = jnp.fft.ifft(k, axis=1)
-        return jnp.fft.irfft(k, n=self.N, axis=2)
+        return irfft_z(k, self.N)
 
     def local_kvectors(self):
         """k in grid units for the transposed k layout, with the ky block
@@ -162,6 +163,7 @@ class PencilDecomp:
 
     def inv_local(self, k):
         """local [N, N/pa, Nhp/pb] complex -> local [N/pa, N/pb, N] real."""
+        from ..backend import irfft_z
         Nh = self.N // 2 + 1
         k = jnp.fft.ifft(k, axis=0)
         k = jax.lax.all_to_all(k, AXA, split_axis=0, concat_axis=1,
@@ -169,7 +171,7 @@ class PencilDecomp:
         k = jnp.fft.ifft(k, axis=1)
         k = jax.lax.all_to_all(k, AXB, split_axis=1, concat_axis=2,
                                tiled=True)
-        return jnp.fft.irfft(k[:, :, :Nh], n=self.N, axis=2)
+        return irfft_z(k[:, :, :Nh], self.N)
 
     def local_kvectors(self):
         """k in grid units for the pencil k layout: ky offset by the 'a'

@@ -101,6 +101,35 @@ def main():
             outs.append(zmat(u, prec))
         return jnp.stack(outs)
 
+    # full inverse DFT bases for the complex axes (x: [N,N], y via same)
+    mm_idx = np.arange(N)
+    ang = 2 * np.pi * ((np.outer(mm_idx, mm_idx)) % N) / N
+    Ec = jnp.asarray(np.cos(ang) / N, jnp.float32)
+    Es = jnp.asarray(np.sin(ang) / N, jnp.float32)   # +sin for INVERSE dft
+
+    def cinv_axis0(u, prec):
+        """inverse DFT along axis 0 of [N, ..., ...] via real matmuls:
+        (Er + i Ei) @ (Ar + i Ai)."""
+        ur, ui = jnp.real(u), jnp.imag(u)
+        rr = jnp.tensordot(Ec, ur, axes=([1], [0]), precision=prec)
+        ri = jnp.tensordot(Ec, ui, axes=([1], [0]), precision=prec)
+        ir = jnp.tensordot(Es, ur, axes=([1], [0]), precision=prec)
+        ii = jnp.tensordot(Es, ui, axes=([1], [0]), precision=prec)
+        return (rr - ii) + 1j * (ri + ir)
+
+    @partial(jax.jit, static_argnames=("prec",))
+    def mm3(kden, prec="highest"):
+        kx, ky, kz = k_grid_units(N)
+        base = smoothed_potential(kden, R, N)
+        kvec = (kx, ky, kz)
+        outs = []
+        for a, b in SECOND_DERIV_PAIRS:
+            f = base * (kvec[a] * kvec[b])
+            u = cinv_axis0(f, prec)
+            u = jnp.swapaxes(cinv_axis0(jnp.swapaxes(u, 0, 1), prec), 0, 1)
+            outs.append(zmat(u, prec))
+        return jnp.stack(outs)
+
     variants = {
         "cur": lambda k: second_derivatives(k, R, N),
         "batch": batch,
@@ -108,18 +137,22 @@ def main():
         "mmz_b": mmz_b,
         "mmz_hi": lambda k: mmz_p(k, "highest"),
         "mmz_h3": lambda k: mmz_p(k, "high"),
+        "mm3_hi": lambda k: mm3(k, "highest"),
+        "mm3_h3": lambda k: mm3(k, "high"),
     }
     # eager slicing is UNIMPLEMENTED on the tunneled backend: probe with a
-    # jitted slice program (also the only reliable sync = d2h transfer)
-    probe = jax.jit(lambda x: (x[0, :4, :4, :8] + 0.0))
+    # jitted slice program (also the only reliable sync = d2h transfer);
+    # a 32^3 block so the error scale is the field rms, not a corner value
+    probe = jax.jit(lambda x: (x[0, :32, :32, :32] + 0.0))
     ref = None
     for name, fn in variants.items():
         got = np.asarray(probe(fn(kden)))
         if ref is None:
             ref = got
         else:
-            err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
-            print(f"{name}: rel err vs cur {err:.2e}", flush=True)
+            err = np.abs(got - ref).max() / max(float(
+                np.sqrt(np.mean(ref ** 2))), 1e-12)
+            print(f"{name}: err/rms vs cur {err:.2e}", flush=True)
         best = 1e30
         for _ in range(5):
             t0 = time.perf_counter()
