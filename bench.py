@@ -96,6 +96,7 @@ def main():
 
     if args.full:
         from pinocchio_tpu.run import run_pipeline
+        params.subbox_tasks = min(os.cpu_count() or 1, 8)
         t0 = time.perf_counter()
         run_pipeline(params, verbose=False, write_outputs=False)
         result["end_to_end_s"] = round(time.perf_counter() - t0, 2)

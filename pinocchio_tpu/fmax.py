@@ -79,6 +79,17 @@ class Products:
 
 
 @dataclass
+class SparseProducts:
+    """Host-side products restricted to the needed particles (the V5
+    needed-particle memory model, DOCUMENTATION:206-213): fragmentation
+    host memory scales with the collapsed fraction (~1/3), not N^3."""
+    N: int
+    ci: np.ndarray                     # sorted global cell index, int64
+    F: np.ndarray                      # float32 per needed particle
+    vel: Dict[str, np.ndarray]         # key -> [n, 3] float32
+
+
+@dataclass
 class FmaxResult:
     products: Products
     smoothing: Smoothing
@@ -87,6 +98,8 @@ class FmaxResult:
     # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
     # (list of dicts of host [3,N,N,N] arrays); None in single-segment mode
     vel_segments: list = None
+    # set by fetch_products_host on TPU backends: compact host copy
+    host_products: SparseProducts = None
     timings: Dict[str, float] = field(default_factory=dict)
 
 
@@ -379,7 +392,8 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
     import dataclasses
 
     prods = fmax_result.products
-    if isinstance(prods.Fmax, np.ndarray):
+    if fmax_result.host_products is not None \
+            or isinstance(prods.Fmax, np.ndarray):
         return fmax_result
     backend = jax.default_backend()
     f16 = params.transfer_f16
@@ -426,37 +440,48 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
                          for k in keys]
 
     idx, Fs, vrows = compact(prods.Fmax, prods.vel)
-    idx_h = np.asarray(idx)
-    valid = idx_h >= 0
-    ci = idx_h[valid]
-    F_h = np.zeros(N3, np.float32)
-    F_h[ci] = np.asarray(Fs)[valid]
-    vel_h = {}
-    for k, rows in zip(keys, vrows):
-        rows_h = np.asarray(rows)
-        dense = np.zeros((3, N3), np.float32)
-        for c in range(3):
-            dense[c, ci] = rows_h[c, valid]
-        vel_h[k] = dense.reshape(3, N, N, N)
+    # d2h transfers run on parallel threads: the tunneled link is the
+    # bottleneck and multiplexes streams better than one blocking asarray
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2 + len(vrows)) as ex:
+        idx_fut = ex.submit(np.asarray, idx)
+        fs_fut = ex.submit(np.asarray, Fs)
+        row_futs = [ex.submit(np.asarray, rows) for rows in vrows]
+        idx_h = idx_fut.result()
+        valid = idx_h >= 0
+        ci = idx_h[valid].astype(np.int64)
+        F_c = fs_fut.result()[valid]
+        vel_c = {}
+        for k, fut in zip(keys, row_futs):
+            rows_h = fut.result()
+            out = np.empty((len(ci), 3), np.float32)
+            for c in range(3):
+                out[:, c] = rows_h[c, valid]
+            vel_c[k] = out
     if verbose:
         nb = cap * (8 + 6 * len(keys) * (2 if f16 else 4))
         print(f"  products: {count}/{N3} needed particles "
               f"({100.0 * count / N3:.1f}%), {nb / 1e6:.0f} MB transferred "
               f"in {time.perf_counter() - t0:.1f}s")
-    dense = Products(Fmax=F_h.reshape(N, N, N), Rmax=prods.Rmax,
-                     vel=vel_h)
-    return dataclasses.replace(fmax_result, products=dense)
+    sp = SparseProducts(N=N, ci=ci, F=F_c, vel=vel_c)
+    return dataclasses.replace(fmax_result, host_products=sp)
 
 
-def fmax_pdf(Fmax: np.ndarray, fname: str = None):
+def fmax_pdf(Fmax, fname: str = None):
     """Histogram of Fmax (Fmax_PDF, fmax.c:509-550): 210 bins of width
-    0.1 in F, counts, matching the reference file format."""
-    F = np.asarray(Fmax).ravel()
-    xF = np.clip((F * 10.0).astype(int), 0, 209)
-    hist = np.bincount(xF, minlength=210)
+    0.1 in F, counts, matching the reference file format.  Device arrays
+    are binned on device (210 counts cross the link, not N^3 floats)."""
+    npart = Fmax.size
+    if not isinstance(Fmax, np.ndarray):
+        hist = np.asarray(jax.jit(lambda F: jnp.bincount(
+            jnp.clip((F.ravel() * 10.0).astype(jnp.int32), 0, 209),
+            length=210))(Fmax))
+    else:
+        xF = np.clip((np.asarray(Fmax).ravel() * 10.0).astype(int), 0, 209)
+        hist = np.bincount(xF, minlength=210)
     if fname:
         with open(fname, "w") as fd:
-            fd.write(f"# Fmax PDF over {F.size} particles\n")
+            fd.write(f"# Fmax PDF over {npart} particles\n")
             fd.write("# 1-2: F interval\n")
             fd.write("# 3: number of particles in that interval\n#\n")
             for i in range(210):

@@ -330,54 +330,74 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     t0 = time.perf_counter()
     from ..fmax import fetch_products_host
     fmax_result = fetch_products_host(params, fmax_result, verbose=verbose)
-    F_full = np.asarray(fmax_result.products.Fmax)
+    sp = fmax_result.host_products
     full_box = tuple(geom.L) == (N, N, N) and tuple(geom.stabl) == (0, 0, 0)
-    if full_box:
-        cell_sel = None          # identity extraction
-        F_grid = F_full
+    ncells = int(np.prod(geom.L))
+
+    if sp is not None:
+        # sparse host products (needed particles only): membership test by
+        # cell coordinates instead of a dense sub-domain extraction
+        if full_box:
+            rows = np.arange(len(sp.ci), dtype=np.int64)
+            lin = sp.ci
+        else:
+            zc = sp.ci % N
+            yc = (sp.ci // N) % N
+            xc = sp.ci // (N * N)
+            lx = (xc - geom.stabl[0]) % geom.G[0]
+            ly = (yc - geom.stabl[1]) % geom.G[1]
+            lz = (zc - geom.stabl[2]) % geom.G[2]
+            inside = ((lx < geom.L[0]) & (ly < geom.L[1])
+                      & (lz < geom.L[2]))
+            rows = np.flatnonzero(inside)
+            lin = ((lx[rows] * geom.L[1]) + ly[rows]) * geom.L[2] + lz[rows]
+        Fsel = sp.F[rows]
+        order = np.argsort(-Fsel, kind="stable")
+        rows = rows[order]
+        sel = lin[order]
+        n = len(sel)
+        Fs = np.ascontiguousarray(Fsel[order], np.float32)
+        pos = np.ascontiguousarray(sel, np.int32)
+        gsel = sp.ci[rows]           # global cells, for segment gathers
+        # dense local grid only for the peak count
+        F_grid = np.zeros(ncells, np.float32)
+        F_grid[sel] = Fs
+        F_grid = F_grid.reshape(geom.L)
+
+        def gather_vel(key):
+            if key not in sp.vel:
+                return None
+            return np.ascontiguousarray(sp.vel[key][rows])
     else:
-        # extract the sub-domain (with PBC-wrapped boundary layer) from
-        # the full grid: the 'distribute' step collapsed to a gather
-        idx = [(np.arange(geom.stabl[d], geom.stabl[d] + geom.L[d])
-                % geom.G[d]) for d in range(3)]
-        cell_sel = np.ravel_multi_index(
-            np.meshgrid(*idx, indexing="ij"), (N, N, N)).ravel()
-        F_grid = F_full.ravel()[cell_sel].reshape(geom.L)
-    sel = np.flatnonzero(F_grid.ravel() >= Flast).astype(np.int64)
-    Fsel = F_grid.ravel()[sel]
-    order = np.argsort(-Fsel, kind="stable")
-    sel = sel[order]
-    n = len(sel)
-    Fs = np.ascontiguousarray(Fsel[order], np.float32)
-    pos = np.ascontiguousarray(sel, np.int32)
-    full_sel = sel if cell_sel is None else cell_sel[sel]
+        F_full = np.asarray(fmax_result.products.Fmax)
+        if full_box:
+            cell_sel = None          # identity extraction
+            F_grid = F_full
+        else:
+            # extract the sub-domain (with PBC-wrapped boundary layer)
+            # from the full grid: 'distribute' collapsed to a gather
+            idx = [(np.arange(geom.stabl[d], geom.stabl[d] + geom.L[d])
+                    % geom.G[d]) for d in range(3)]
+            cell_sel = np.ravel_multi_index(
+                np.meshgrid(*idx, indexing="ij"), (N, N, N)).ravel()
+            F_grid = F_full.ravel()[cell_sel].reshape(geom.L)
+        sel = np.flatnonzero(F_grid.ravel() >= Flast).astype(np.int64)
+        Fsel = F_grid.ravel()[sel]
+        order = np.argsort(-Fsel, kind="stable")
+        sel = sel[order]
+        n = len(sel)
+        Fs = np.ascontiguousarray(Fsel[order], np.float32)
+        pos = np.ascontiguousarray(sel, np.int32)
+        gsel = sel if cell_sel is None else cell_sel[sel]
 
-    # displacement fields cross the device->host link; optionally in
-    # float16 (~5e-4 relative, far below the half-cell Lagrangian
-    # discreteness) to halve the transfer on slow links
-    f16 = params.transfer_f16
-    if f16 is None:
-        import jax
-        f16 = jax.default_backend() not in ("cpu",)
-
-    def _fetch(arr):
-        if isinstance(arr, np.ndarray):
-            return arr                 # already materialized on the host
-        if f16:
-            import jax
-            import jax.numpy as jnp
-            return np.asarray(jax.jit(
-                lambda x: x.astype(jnp.float16))(arr)).astype(np.float32)
-        return np.asarray(arr)
-
-    def gather_vel(key):
-        if key not in fmax_result.products.vel:
-            return None
-        v = _fetch(fmax_result.products.vel[key]).reshape(3, -1)
-        out = np.empty((len(full_sel), 3), np.float32)
-        for c in range(3):      # one pass per component, no transpose copy
-            out[:, c] = v[c].take(full_sel)
-        return out
+        def gather_vel(key):
+            if key not in fmax_result.products.vel:
+                return None
+            v = np.asarray(fmax_result.products.vel[key]).reshape(3, -1)
+            out = np.empty((len(gsel), 3), np.float32)
+            for c in range(3):   # one pass per component, no transpose
+                out[:, c] = v[c].take(gsel)
+            return out
 
     v1 = gather_vel("v1")
     v2 = gather_vel("v2")
@@ -391,13 +411,12 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             if key not in vs:
                 return None
             return np.ascontiguousarray(
-                np.asarray(vs[key]).reshape(3, -1)[:, full_sel].T,
+                np.asarray(vs[key]).reshape(3, -1)[:, gsel].T,
                 np.float32)
         seg_vel = [{k: gather_seg(vs, k)
                     for k in ("v1", "v2", "v31", "v32")}
                    for vs in fmax_result.vel_segments]
 
-    ncells = int(np.prod(geom.L))
     loc = np.full(ncells, -1, np.int32)
     loc[sel] = np.arange(n, dtype=np.int32)
     timings["sort"] = time.perf_counter() - t0

@@ -84,7 +84,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         io_dumps.dump_products(params, fmax_res, outdir)
 
     if write_outputs:
-        fmax_pdf(np.asarray(fmax_res.products.Fmax),
+        fmax_pdf(fmax_res.products.Fmax,
                  os.path.join(outdir,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
 

@@ -139,19 +139,17 @@ def test_sparse_transfer_identical(hmf_validation_params,
     p_sparse = dataclasses.replace(hmf_validation_params,
                                    sparse_transfer=True,
                                    transfer_f16=False)
-    # explicit sparse fetch: needed fraction is plausible, dense F agrees
-    # on selected cells and is zero elsewhere
-    sp = fetch_products_host(p_sparse, fmax_result)
+    # explicit sparse fetch: needed fraction is plausible, the compact
+    # arrays carry exactly the selected cells' values in cell order
+    sp = fetch_products_host(p_sparse, fmax_result).host_products
     F0 = np.asarray(fmax_result.products.Fmax)
-    F1 = sp.products.Fmax
-    sel = F0 >= p_sparse.Flast
-    assert 0.05 < sel.mean() < 0.9
-    assert np.array_equal(F1[sel], F0[sel])
-    assert not np.any(F1[~sel])
+    sel = np.flatnonzero(F0.ravel() >= p_sparse.Flast)
+    assert 0.05 < len(sel) / F0.size < 0.9
+    assert np.array_equal(sp.ci, sel)
+    assert np.array_equal(sp.F, F0.ravel()[sel])
     for k, v in fmax_result.products.vel.items():
         v0 = np.asarray(v).reshape(3, -1)
-        v1 = sp.products.vel[k].reshape(3, -1)
-        assert np.array_equal(v1[:, sel.ravel()], v0[:, sel.ravel()])
+        assert np.array_equal(sp.vel[k], v0[:, sel].T)
 
     r0 = run_fragmentation(p_dense, hmf_validation_cosmology, fmax_result,
                            verbose=False)
@@ -163,3 +161,30 @@ def test_sparse_transfer_identical(hmf_validation_params,
         assert np.array_equal(c0.mass, c1.mass)
         assert np.array_equal(c0.x, c1.x)
         assert np.array_equal(c0.v, c1.v)
+
+
+def test_sparse_transfer_multibox(hmf_validation_params,
+                                  hmf_validation_cosmology, fmax_result):
+    """Sparse host products + sub-box membership (coordinate wrap) gives
+    the same catalogs as the dense sub-domain extraction."""
+    import dataclasses
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+
+    p_dense = dataclasses.replace(hmf_validation_params,
+                                  sparse_transfer=False,
+                                  transfer_f16=False, subbox_tasks=4)
+    p_sparse = dataclasses.replace(hmf_validation_params,
+                                   sparse_transfer=True,
+                                   transfer_f16=False, subbox_tasks=4)
+    nbox = (2, 2, 1)
+    r0 = run_fragmentation_multibox(p_dense, hmf_validation_cosmology,
+                                    fmax_result, nbox, verbose=False)
+    r1 = run_fragmentation_multibox(p_sparse, hmf_validation_cosmology,
+                                    fmax_result, nbox, verbose=False)
+    assert np.array_equal(r0.counters, r1.counters)
+    for c0, c1 in zip(r0.catalogs, r1.catalogs):
+        o0 = np.argsort(c0.name)
+        o1 = np.argsort(c1.name)
+        assert np.array_equal(c0.name[o0], c1.name[o1])
+        assert np.array_equal(c0.mass[o0], c1.mass[o1])
+        assert np.array_equal(c0.x[o0], c1.x[o1])
