@@ -209,6 +209,54 @@ def growth_k_tables(cosmo: Cosmology, z0: float, N: int, ntab: int = 512):
             jnp.float32(logk[1] - logk[0]))
 
 
+def prepare_ct_tables(params: Params, cosmo: Cosmology, sm: Smoothing,
+                      verbose: bool = True) -> dict:
+    """Per-radius TABULATED_CT / ELL_SNG collapse tables: load from
+    CTtableFile when present and consistent (header checks,
+    collapse_times.c:1235-1345), else build and optionally cache."""
+    from .ops import tabulated
+    model = "sng" if params.ell_model == "sng" else "classic"
+    ct = None
+    if params.CTtableFile not in ("none", ""):
+        try:
+            tabs = tabulated.read_ct_table_file(params.CTtableFile,
+                                                params, sm)
+            ct = dict(tables=tabs,
+                      dv=tabulated.delta_sampling().astype(np.float32),
+                      idx_map=None,
+                      ampl=np.sqrt(sm.variance).astype(np.float32))
+            aux = np.linspace(-tabulated.CT_RANGE_D,
+                              tabulated.CT_RANGE_D, tabulated.AUX_N)
+            ct["idx_map"] = np.clip(
+                np.searchsorted(ct["dv"], aux, side="right") - 1, 0,
+                tabulated.CT_NBINS_D - 2).astype(np.int32)
+            if verbose:
+                print(f"  collapse tables read from {params.CTtableFile}")
+        except (OSError, ValueError):
+            ct = None
+    if ct is None:
+        if verbose:
+            print(f"  building {model} collapse tables for {sm.n} radii")
+        ct = tabulated.build_ct_tables_all(cosmo, sm, model=model)
+        if params.CTtableFile not in ("none", ""):
+            tabulated.write_ct_table_file(params.CTtableFile, params,
+                                          sm, ct["tables"])
+    return ct
+
+
+def inverse_growth_packs(cosmo: Cosmology, sm: Smoothing,
+                         scaledep_gm=None) -> np.ndarray:
+    """Per-radius inverse-growing-mode polynomial fits [nsmooth, pack]:
+    with scale-dependent growth each radius inverts the smoothed density's
+    effective growth (InverseGrowingMode, cosmo.c:1822-1832)."""
+    if scaledep_gm is not None:
+        return np.stack([collapse.fit_inverse_growth(
+            scaledep_gm.invgrow_logD[i], scaledep_gm.loga_grid)
+            for i in range(sm.n)])
+    return np.tile(collapse.make_inverse_growth_fit(cosmo)[None, :],
+                   (sm.n, 1))
+
+
 def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
              scaledep_gm=None, verbose: bool = True) -> FmaxResult:
     grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
@@ -224,53 +272,14 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
         kdensity.block_until_ready()
     timings["dens"] = time.perf_counter() - t0
 
-    # inverse growing mode per radius: with scale-dependent growth each
-    # radius inverts the smoothed density's effective growth
-    # (InverseGrowingMode, cosmo.c:1822-1832)
-    if scaledep_gm is not None:
-        packs = np.stack([collapse.fit_inverse_growth(
-            scaledep_gm.invgrow_logD[i], scaledep_gm.loga_grid)
-            for i in range(sm.n)])
-    else:
-        packs = np.tile(collapse.make_inverse_growth_fit(cosmo)[None, :],
-                        (sm.n, 1))
-    ig_packs = jnp.asarray(packs)
+    ig_packs = jnp.asarray(inverse_growth_packs(cosmo, sm, scaledep_gm))
 
     # ---- cycle on smoothing radii (fmax.c:66-150), one device program ----
     t0 = time.perf_counter()
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
     if params.ell_model != "classic":
         # TABULATED_CT / ELL_SNG: build (or load) the per-radius tables
-        from .ops import tabulated
-        import os
-        model = "sng" if params.ell_model == "sng" else "classic"
-        ct = None
-        if params.CTtableFile not in ("none", ""):
-            try:
-                tabs = tabulated.read_ct_table_file(params.CTtableFile,
-                                                    params, sm)
-                ct = dict(tables=tabs,
-                          dv=tabulated.delta_sampling().astype(np.float32),
-                          idx_map=None, ampl=np.sqrt(sm.variance
-                                                     ).astype(np.float32))
-                aux = np.linspace(-tabulated.CT_RANGE_D,
-                                  tabulated.CT_RANGE_D, tabulated.AUX_N)
-                ct["idx_map"] = np.clip(
-                    np.searchsorted(ct["dv"], aux, side="right") - 1, 0,
-                    tabulated.CT_NBINS_D - 2).astype(np.int32)
-                if verbose:
-                    print(f"  collapse tables read from "
-                          f"{params.CTtableFile}")
-            except (OSError, ValueError):
-                ct = None
-        if ct is None:
-            if verbose:
-                print(f"  building {model} collapse tables for {sm.n} "
-                      f"radii")
-            ct = tabulated.build_ct_tables_all(cosmo, sm, model=model)
-            if params.CTtableFile not in ("none", ""):
-                tabulated.write_ct_table_file(params.CTtableFile, params,
-                                              sm, ct["tables"])
+        ct = prepare_ct_tables(params, cosmo, sm, verbose=verbose)
         Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop_tab(
             kdensity, radii_grid, jnp.asarray(ct["tables"]),
             jnp.asarray(ct["dv"]), jnp.asarray(ct["idx_map"]),

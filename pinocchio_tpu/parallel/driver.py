@@ -103,6 +103,41 @@ def build_fmax_loop(decomp, nsmooth: int):
     return loop
 
 
+def build_fmax_loop_tab(decomp, nsmooth: int):
+    """build_fmax_loop variant where collapse times come from per-radius
+    TABULATED_CT tables (ELL_SNG or tabulated classic): the tables are
+    replicated over the mesh, the trilinear lookup runs per shard
+    (interpolate_collapse_time, collapse_times.c:1139-1221)."""
+    N = decomp.N
+    second = pfft.distributed_second_derivatives(decomp)
+    rshard = jax.sharding.NamedSharding(decomp.mesh, decomp.real_spec)
+
+    @jax.jit
+    def loop(kden, radii_grid, ct_tabs, ct_dv, ct_idx_map, ct_ampls):
+        Fmax0 = jax.lax.with_sharding_constraint(
+            jnp.full((N, N, N), -10.0, jnp.float32), rshard)
+        Rmax0 = jax.lax.with_sharding_constraint(
+            jnp.full((N, N, N), -1, jnp.int32), rshard)
+        sd0 = jnp.zeros((6, N, N, N), jnp.float32)
+
+        def body(carry, xs):
+            Fmax, Rmax, _ = carry
+            R_grid, ism, tab, ampl = xs
+            sd = second(kden, R_grid)
+            Fmax, Rmax, d_avg, d_var = \
+                collapse.collapse_update_table.__wrapped__(
+                    sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl)
+            return (Fmax, Rmax, sd), (d_avg, d_var)
+
+        xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32), ct_tabs,
+              ct_ampls)
+        (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
+            body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
+        return Fmax, Rmax, avgs, variances, sd
+
+    return loop
+
+
 def distributed_lpt_sources(decomp):
     """2LPT/3LPT k-space sources from the sharded R=0 Hessian stack:
     pointwise products per shard + distributed forward/derivative FFTs
@@ -136,36 +171,50 @@ def distributed_lpt_sources(decomp):
         (decomp.k_spec, decomp.k_spec, decomp.k_spec))
 
 
-def build_displacement_stage(decomp, order: int):
+def build_displacement_stage(decomp, order: int, scaledep: bool = False):
     """All LPT displacement stacks as one sharded program (the multi-chip
-    displacement_stage; compute_displacements, fmax.c:292-367)."""
-    first = pfft.distributed_first_derivatives(decomp)
+    displacement_stage; compute_displacements, fmax.c:292-367).
+
+    growths: scalars (D1, D2, D31, D32) when scale-independent, else
+    (gtabs[4, ntab], glo, gdx) per-mode growth tables over log10 |k|."""
+    first_s = pfft.distributed_first_derivatives(decomp)
+    first_t = pfft.distributed_first_derivatives_tab(decomp) \
+        if scaledep else None
     sources = distributed_lpt_sources(decomp)
 
     @jax.jit
     def stage(kden, sd, growths):
-        D1, D2, D31, D32 = growths
+        def first(kvec, iorder):
+            if scaledep:
+                gtabs, glo, gdx = growths
+                return first_t(kvec, gtabs[iorder], glo, gdx)
+            return first_s(kvec, growths[iorder])
+
         out = {}
         if order >= 2:
             kvec2, kvec31, kvec32 = sources(sd)
-            out["v2"] = first(kvec2, D2)
+            out["v2"] = first(kvec2, 1)
             if order >= 3:
-                out["v31"] = first(kvec31, D31)
-                out["v32"] = first(kvec32, D32)
-        out["v1"] = first(kden, D1)
+                out["v31"] = first(kvec31, 2)
+                out["v32"] = first(kvec32, 3)
+        out["v1"] = first(kden, 0)
         return out
 
     return stage
 
 
-def run_fmax_distributed(params, cosmo, mesh: Mesh, verbose: bool = True):
+def run_fmax_distributed(params, cosmo, mesh: Mesh, scaledep_gm=None,
+                         verbose: bool = True):
     """Multi-chip run_fmax: IC generation, the smoothing cycle and the LPT
-    stage all sharded over the mesh.  Returns the same FmaxResult the
-    single-chip path produces (arrays carry mesh shardings; np.asarray
-    gathers)."""
+    stage all sharded over the mesh, covering the full feature set of the
+    single-chip path (scale-dependent growth, TABULATED_CT / ELL_SNG
+    collapse, RECOMPUTE_DISPLACEMENTS segments).  Returns the same
+    FmaxResult the single-chip path produces (arrays carry mesh shardings;
+    np.asarray gathers)."""
     import time
 
-    from ..fmax import FmaxResult, Products, Smoothing
+    from ..fmax import (FmaxResult, Products, Smoothing, growth_k_tables,
+                        inverse_growth_packs, prepare_ct_tables)
     from ..grids import Grid
 
     grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
@@ -180,13 +229,20 @@ def run_fmax_distributed(params, cosmo, mesh: Mesh, verbose: bool = True):
     kden.block_until_ready()
     timings["dens"] = time.perf_counter() - t0
 
-    packs = np.tile(collapse.make_inverse_growth_fit(cosmo)[None, :],
-                    (sm.n, 1))
     t0 = time.perf_counter()
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
-    loop = build_fmax_loop(decomp, sm.n)
-    Fmax, Rmax, d_avgs, d_vars, sd = loop(kden, radii_grid,
-                                          jnp.asarray(packs))
+    if params.ell_model != "classic":
+        ct = prepare_ct_tables(params, cosmo, sm, verbose=verbose)
+        loop = build_fmax_loop_tab(decomp, sm.n)
+        Fmax, Rmax, d_avgs, d_vars, sd = loop(
+            kden, radii_grid, jnp.asarray(ct["tables"]),
+            jnp.asarray(ct["dv"]), jnp.asarray(ct["idx_map"]),
+            jnp.asarray(ct["ampl"]))
+    else:
+        packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
+        loop = build_fmax_loop(decomp, sm.n)
+        Fmax, Rmax, d_avgs, d_vars, sd = loop(kden, radii_grid,
+                                              jnp.asarray(packs))
     sm.true_variance[:] = np.asarray(d_vars)
     timings["fmax_loop"] = time.perf_counter() - t0
     if verbose:
@@ -198,21 +254,47 @@ def run_fmax_distributed(params, cosmo, mesh: Mesh, verbose: bool = True):
                   f"{math.sqrt(max(sm.true_variance[ism], 0.0)):7.4f}")
 
     t0 = time.perf_counter()
+    scaledep = bool(getattr(cosmo, "scale_dep", False))
+
+    def growths_at(z):
+        if scaledep:
+            return growth_k_tables(cosmo, z, N)
+        return (jnp.float32(cosmo.GrowingMode(z)),
+                jnp.float32(cosmo.GrowingMode_2LPT(z)),
+                jnp.float32(cosmo.GrowingMode_3LPT_1(z)),
+                jnp.float32(cosmo.GrowingMode_3LPT_2(z)))
+
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
-    growths = (jnp.float32(cosmo.GrowingMode(z0)),
-               jnp.float32(cosmo.GrowingMode_2LPT(z0)),
-               jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
-               jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
-    vel = build_displacement_stage(decomp, params.lpt_order)(
-        kden, sd, growths)
+    stage = build_displacement_stage(decomp, params.lpt_order, scaledep)
+    vel = stage(kden, sd, growths_at(z0))
     for v in vel.values():
         v.block_until_ready()
+
+    # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
+    # (compute_displacements per segment, fragment.c:398-429)
+    f16 = params.transfer_f16
+    if f16 is None:
+        f16 = jax.default_backend() not in ("cpu",)
+
+    def _fetch(v):
+        if f16:
+            return np.asarray(jax.jit(
+                lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
+        return np.asarray(v)
+
+    vel_segments = None
+    if params.recompute_displacements and len(params.output_z) > 1:
+        vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+        for zseg in params.output_z[1:]:
+            vs = stage(kden, sd, growths_at(zseg))
+            vel_segments.append({k: _fetch(v) for k, v in vs.items()})
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
     return FmaxResult(products=products, smoothing=sm, grid=grid,
-                      kdensity=kden, timings=timings)
+                      kdensity=kden, vel_segments=vel_segments,
+                      timings=timings)
 
 
 def demo_step(mesh: Mesh, N: int = 32, seed: int = 1):

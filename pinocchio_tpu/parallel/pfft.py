@@ -244,3 +244,27 @@ def distributed_first_derivatives(decomp):
 
     return shard_map_fn(decomp.mesh, local, (decomp.k_spec, P()),
                         P(None, *decomp.real_spec))
+
+
+def distributed_first_derivatives_tab(decomp):
+    """first derivatives with a per-mode growth factor from a uniform
+    table over log10 |k| in grid units — the distributed form of the
+    scale-dependent growth switch of compute_derivative
+    (fmax-pfft.c:344-364); the table is replicated, each shard indexes it
+    at its own k offsets."""
+    def local(kvector, gtab, glo, gdx):
+        kx, ky, kz = decomp.local_kvectors()
+        k2 = kx * kx + ky * ky + kz * kz
+        logk = 0.5 * jnp.log10(jnp.maximum(k2, 1e-12))
+        t = jnp.clip((logk - glo) / gdx, 0.0, gtab.shape[0] - 1.001)
+        i = t.astype(jnp.int32)
+        w = t - i.astype(jnp.float32)
+        growth = gtab[i] * (1.0 - w) + gtab[i + 1] * w
+        base = kvector * (1j * growth) * _safe_inv(k2).astype(jnp.float32)
+        return jnp.stack([decomp.inv_local(base * kx),
+                          decomp.inv_local(base * ky),
+                          decomp.inv_local(base * kz)])
+
+    return shard_map_fn(decomp.mesh, local,
+                        (decomp.k_spec, P(), P(), P()),
+                        P(None, *decomp.real_spec))

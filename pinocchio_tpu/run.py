@@ -61,11 +61,6 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             print("[fmax] products read from dumps")
     elif chips and chips > 1:
         # mesh-sharded device pipeline (slab for prime counts, else pencil)
-        if scaledep_gm is not None or params.ell_model != "classic" \
-                or params.recompute_displacements:
-            raise NotImplementedError(
-                "multi-chip fmax supports the classic single-segment "
-                "collapse path; run these features single-chip")
         from .parallel import pfft
         from .parallel.driver import run_fmax_distributed
         mesh = (pfft.make_pencil_mesh(chips) if chips >= 4
@@ -73,6 +68,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         if verbose:
             print(f"[fmax] sharded over mesh {dict(mesh.shape)}")
         fmax_res = run_fmax_distributed(params, cosmo, mesh,
+                                        scaledep_gm=scaledep_gm,
                                         verbose=verbose)
     else:
         fmax_res = run_fmax(params, cosmo, scaledep_gm=scaledep_gm,

@@ -132,6 +132,79 @@ def test_run_fmax_distributed_matches_single_chip(small_setup):
     assert abs(c - c_ref) <= max(5, c_ref // 1000)
 
 
+def test_distributed_tabulated_matches_single_chip(small_setup):
+    """Sharded fmax with TABULATED_CT collapse (the classic-model tables)
+    vs the single-chip tabulated path: same tables, same lookup per
+    shard."""
+    import dataclasses
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p, cosmo = small_setup
+    p = dataclasses.replace(p, ell_model="tabulated")
+    ref = run_fmax(p, cosmo, verbose=False)
+    r = run_fmax_distributed(p, cosmo, pfft.make_pencil_mesh(8),
+                             verbose=False)
+    F_ref = np.asarray(ref.products.Fmax)
+    F = np.asarray(r.products.Fmax)
+    nflip = int((np.abs(F - F_ref) > 0.1).sum())
+    assert nflip < 30, f"{nflip} collapse flips"
+    c_ref = int((F_ref >= 1.0).sum())
+    assert abs(int((F >= 1.0).sum()) - c_ref) <= max(5, c_ref // 1000)
+
+
+def test_distributed_recompute_segments(small_setup):
+    """RECOMPUTE_DISPLACEMENTS multi-chip: one displacement set per output
+    redshift, each matching the single-chip segment."""
+    import dataclasses
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p, cosmo = small_setup
+    p = dataclasses.replace(p, recompute_displacements=True,
+                            transfer_f16=False)
+    assert len(p.output_z) > 1
+    ref = run_fmax(p, cosmo, verbose=False)
+    r = run_fmax_distributed(p, cosmo, pfft.make_mesh(8), verbose=False)
+    assert r.vel_segments is not None
+    assert len(r.vel_segments) == len(p.output_z) == len(ref.vel_segments)
+    for seg_ref, seg in zip(ref.vel_segments, r.vel_segments):
+        for key in seg_ref:
+            a, b = seg_ref[key], seg[key]
+            assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1e-3)
+
+
+def test_distributed_scaledep_matches_single_chip():
+    """Sharded fmax with scale-dependent growth (CAMB-table cosmology):
+    per-radius inverse-growth packs and per-mode growth tables in the
+    displacement stage, vs the single-chip path."""
+    from pinocchio_tpu.config import read_parameter_file
+    from pinocchio_tpu.cosmology import Cosmology
+    from pinocchio_tpu.fmax import Smoothing, run_fmax
+    from pinocchio_tpu.io import catalogs as io_cat
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    from pinocchio_tpu.scaledep import set_scaledep_gm
+    p = read_parameter_file("/root/reference/example/parameter_file",
+                            plc_enabled=False)
+    p.GridSize = N
+    p.BoxSize = float(N) * 4.0
+    p.recompute_displacements = False
+    p.transfer_f16 = False
+    cosmo = Cosmology(p)
+    assert cosmo.scale_dep
+    gm = set_scaledep_gm(p, cosmo, Smoothing.build(p, cosmo),
+                         io_cat.largest_halo_mass(p, cosmo), verbose=False)
+    ref = run_fmax(p, cosmo, scaledep_gm=gm, verbose=False)
+    r = run_fmax_distributed(p, cosmo, pfft.make_pencil_mesh(8),
+                             scaledep_gm=gm, verbose=False)
+    F_ref = np.asarray(ref.products.Fmax)
+    F = np.asarray(r.products.Fmax)
+    nflip = int((np.abs(F - F_ref) > 0.1).sum())
+    assert nflip < 30, f"{nflip} collapse flips"
+    for key in ref.products.vel:
+        a = np.asarray(ref.products.vel[key])
+        b = np.asarray(r.products.vel[key])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1e-3), key
+
+
 def test_demo_step_pencil():
     Fmax, Rmax, disp = demo_step(pfft.make_pencil_mesh(8), N=N)
     assert Fmax.shape == (N, N, N)
