@@ -242,23 +242,31 @@ def write_geometry(params: Params, geom: PlcGeometry, smallest_r, largest_r,
 def compute_nhalos_prediction(params: Params, cosmo: Cosmology,
                               z1: float, z2: float) -> float:
     """Analytic halo count in the cone between z1 and z2
-    (compute_Nhalos_in_PLC, fragment.c:922-950)."""
-    from scipy.integrate import quad
+    (compute_Nhalos_in_PLC, fragment.c:922-950).
+
+    Same 0.01-z sub-stepping as the reference, but the inner mass integral
+    runs as one vectorized Simpson rule over a fixed log-m grid per
+    sub-step (the integrand is a smooth spline product, so ~500 nodes
+    match the reference's adaptive QAGS to ~1e-4) instead of thousands of
+    scalar spline calls — the n(z) file cost drops from seconds to ms."""
+    from scipy.integrate import simpson
     min_logm = math.log(params.ParticleMass * params.MinHaloMass)
     aperture = min(params.PLCAperture, 90.0)
     solidangle = (1 - math.cos(aperture / 180.0 * math.pi)) * 2.0 * math.pi
+    lowers = np.arange(z1, z2, 0.01)
+    if len(lowers) == 0:
+        return 0.0
+    uppers = np.minimum(lowers + 0.01, z2)
+    lm = np.linspace(min_logm, 37.0, 513)
+    m = np.exp(lm)
     number = 0.0
-    lower = z1
-    while lower < z2:
-        upper = min(lower + 0.01, z2)
-        myz = 0.5 * (upper + lower)
-        res = quad(lambda lm: math.exp(lm)
-                   * float(cosmo.AnalyticMassFunction(math.exp(lm), myz)),
-                   min_logm, 37.0, epsabs=0.0, epsrel=1e-4, limit=1000)[0]
-        number += res * solidangle * (
-            float(cosmo.ComovingDistance(upper)) ** 3
-            - float(cosmo.ComovingDistance(lower)) ** 3) / 3.0
-        lower += 0.01
+    dlo = np.asarray(cosmo.ComovingDistance(lowers), np.float64)
+    dhi = np.asarray(cosmo.ComovingDistance(uppers), np.float64)
+    for i in range(len(lowers)):
+        myz = 0.5 * (uppers[i] + lowers[i])
+        res = simpson(m * np.asarray(
+            cosmo.AnalyticMassFunction(m, myz), np.float64), x=lm)
+        number += res * solidangle * (dhi[i] ** 3 - dlo[i] ** 3) / 3.0
     return number
 
 
