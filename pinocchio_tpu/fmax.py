@@ -31,6 +31,12 @@ from .ops import collapse, derivatives, lpt
 NSIGMA = 6.0
 STEP_VAR = 0.3          # spacing of the variance ladder (pinocchio.h:69)
 
+# grid size at which the displacement stage switches from one monolithic
+# device program to per-field staged programs with explicit buffer
+# lifetimes (module-level so tests can lower it and cover the staged path
+# at CPU-sized grids)
+STAGED_LPT_THRESHOLD = 512
+
 
 @dataclass
 class Smoothing:
@@ -302,51 +308,17 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
     scaledep = bool(getattr(cosmo, "scale_dep", False))
-    if scaledep:
-        growths = growth_k_tables(cosmo, z0, N)
-    else:
-        growths = (jnp.float32(cosmo.GrowingMode(z0)),
-                   jnp.float32(cosmo.GrowingMode_2LPT(z0)),
-                   jnp.float32(cosmo.GrowingMode_3LPT_1(z0)),
-                   jnp.float32(cosmo.GrowingMode_3LPT_2(z0)))
-    if N >= 512:
-        # staged variant: one program per field with explicit buffer
-        # lifetimes (the monolithic program's temporaries exceed HBM);
-        # the caller's Hessian reference must drop before the derivative
-        # stages for its 6 N^3 buffers to free
-        def first(kvec, iorder):
-            if scaledep:
-                gtabs, glo, gdx = growths
-                return derivatives.first_derivatives_tab(
-                    kvec, gtabs[iorder], glo, gdx, N)
-            return derivatives.first_derivatives(kvec, growths[iorder], N)
+    multi_seg = (params.recompute_displacements
+                 and len(params.output_z) > 1)
 
-        vel = {}
-        kvec2 = kvec31 = kvec32 = None
-        if params.lpt_order >= 2:
-            kvec2, kvec31, kvec32 = lpt.lpt_sources(sd, N)
-            kvec2.block_until_ready()
-        del sd
-        if kvec2 is not None:
-            vel["v2"] = first(kvec2, 1)
-            vel["v2"].block_until_ready()
-            del kvec2
-            if params.lpt_order >= 3:
-                vel["v31"] = first(kvec31, 2)
-                vel["v31"].block_until_ready()
-                vel["v32"] = first(kvec32, 3)
-                vel["v32"].block_until_ready()
-            del kvec31, kvec32
-        vel["v1"] = first(kdensity, 0)
-        sd = None
-    else:
-        vel: Dict[str, jax.Array] = displacement_stage(
-            kdensity, sd, growths, N, params.lpt_order, scaledep)
-    for v in vel.values():
-        v.block_until_ready()
+    def growths_at(zz):
+        if scaledep:
+            return growth_k_tables(cosmo, zz, N)
+        return (jnp.float32(cosmo.GrowingMode(zz)),
+                jnp.float32(cosmo.GrowingMode_2LPT(zz)),
+                jnp.float32(cosmo.GrowingMode_3LPT_1(zz)),
+                jnp.float32(cosmo.GrowingMode_3LPT_2(zz)))
 
-    # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
-    # (compute_displacements per segment, fragment.c:398-429)
     f16 = params.transfer_f16
     if f16 is None:
         f16 = jax.default_backend() not in ("cpu",)
@@ -357,20 +329,70 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                 lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
         return np.asarray(v)
 
+    growths = growths_at(z0)
     vel_segments = None
-    if params.recompute_displacements and len(params.output_z) > 1:
-        vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
-        for zseg in params.output_z[1:]:
+    if N >= STAGED_LPT_THRESHOLD:
+        # staged variant: one program per field with explicit buffer
+        # lifetimes (the monolithic program's temporaries exceed HBM).
+        # The LPT source k-vectors are z-INDEPENDENT (only the growth
+        # weights in the derivative stage depend on z, LPT.c:184-228), so
+        # with RECOMPUTE_DISPLACEMENTS the 3 k-vectors stay alive across
+        # segments while the 6 N^3 Hessian buffers free after lpt_sources.
+        def first(kvec, iorder, g):
             if scaledep:
-                g_s = growth_k_tables(cosmo, zseg, N)
-            else:
-                g_s = (jnp.float32(cosmo.GrowingMode(zseg)),
-                       jnp.float32(cosmo.GrowingMode_2LPT(zseg)),
-                       jnp.float32(cosmo.GrowingMode_3LPT_1(zseg)),
-                       jnp.float32(cosmo.GrowingMode_3LPT_2(zseg)))
-            vs = displacement_stage(kdensity, sd, g_s, N,
-                                    params.lpt_order, scaledep)
-            vel_segments.append({k: _fetch(v) for k, v in vs.items()})
+                gtabs, glo, gdx = g
+                return derivatives.first_derivatives_tab(
+                    kvec, gtabs[iorder], glo, gdx, N)
+            return derivatives.first_derivatives(kvec, g[iorder], N)
+
+        kvec2 = kvec31 = kvec32 = None
+        if params.lpt_order >= 2:
+            kvec2, kvec31, kvec32 = lpt.lpt_sources(sd, N)
+            kvec2.block_until_ready()
+        sd = None                      # free the 6 Hessian buffers
+
+        def staged_vels(g, to_host):
+            """One displacement set; to_host fetches each stack to the
+            host as soon as it is computed, so at most one [3,N,N,N]
+            device temporary exists at a time."""
+            out = {}
+
+            def add(key, kvec, iorder):
+                v = first(kvec, iorder, g)
+                if to_host:
+                    out[key] = _fetch(v)
+                else:
+                    v.block_until_ready()
+                    out[key] = v
+
+            if kvec2 is not None:
+                add("v2", kvec2, 1)
+                if params.lpt_order >= 3:
+                    add("v31", kvec31, 2)
+                    add("v32", kvec32, 3)
+            add("v1", kdensity, 0)
+            return out
+
+        vel = staged_vels(growths, to_host=False)
+        if multi_seg:
+            # per-segment displacement sets (compute_displacements per
+            # segment, fragment.c:398-429), fetched straight to host
+            vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+            for zseg in params.output_z[1:]:
+                vel_segments.append(
+                    staged_vels(growths_at(zseg), to_host=True))
+        del kvec2, kvec31, kvec32
+    else:
+        vel: Dict[str, jax.Array] = displacement_stage(
+            kdensity, sd, growths, N, params.lpt_order, scaledep)
+        if multi_seg:
+            vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+            for zseg in params.output_z[1:]:
+                vs = displacement_stage(kdensity, sd, growths_at(zseg),
+                                        N, params.lpt_order, scaledep)
+                vel_segments.append({k: _fetch(v) for k, v in vs.items()})
+    for v in vel.values():
+        v.block_until_ready()
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)

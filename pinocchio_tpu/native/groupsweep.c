@@ -252,28 +252,9 @@ static _Thread_local int cur_seg = 0;     /* current fragmentation segment */
 static inline double seg_tab_interp(const double *tab, double logk,
                                     double F)
 {
-    if (I->sd_nk) {
-        const double *base = tab
-            + (int64_t)cur_seg * I->sd_nk * I->tab_n;
-        const double *save = I->sd_w1;  /* unused, keep signature simple */
-        (void)save;
-        /* reuse tab2_interp by offsetting into the segment's 2D slab */
-        double t = (log10(F) - I->tab_lo) / I->tab_dlog;
-        if (t < 0.0) t = 0.0;
-        int i = (int)t;
-        if (i >= I->tab_n - 1) { i = I->tab_n - 2; t = (double)(i + 1); }
-        double wf = t - i;
-        double u = (logk - I->sd_logk_lo) / I->sd_dlogk;
-        if (u < 0.0) u = 0.0;
-        int j = (int)u;
-        if (j >= I->sd_nk - 1) { j = I->sd_nk - 2; u = (double)(j + 1); }
-        double wk = u - j;
-        const double *r0 = base + (int64_t)j * I->tab_n;
-        const double *r1 = r0 + I->tab_n;
-        double lo = r0[i] * (1.0 - wf) + r0[i + 1] * wf;
-        double hi = r1[i] * (1.0 - wf) + r1[i + 1] * wf;
-        return lo * (1.0 - wk) + hi * wk;
-    }
+    if (I->sd_nk)   /* segment tables are [nseg][sd_nk][tab_n] slabs */
+        return tab2_interp(tab + (int64_t)cur_seg * I->sd_nk * I->tab_n,
+                           logk, F);
     return tab_interp(tab + (int64_t)cur_seg * I->tab_n, F);
 }
 

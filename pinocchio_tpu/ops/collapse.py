@@ -298,4 +298,4 @@ def collapse_update(derivs, Fmax, Rmax, ismooth, invgrow_pack):
     upd = Fmax < F
     Fmax = jnp.where(upd, F, Fmax)
     Rmax = jnp.where(upd, ismooth, Rmax)
-    return Fmax, Rmax, jnp.mean(delta), jnp.mean(delta * delta)
+    return Fmax, Rmax, _safe_mean(delta), _safe_mean(delta * delta)
