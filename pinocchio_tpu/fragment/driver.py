@@ -312,6 +312,9 @@ class FragmentResult:
     particle_group: np.ndarray = None    # final group id (1 = filament)
     particle_zacc: np.ndarray = None     # accretion redshift or -1
     timings: Dict[str, float] = field(default_factory=dict)
+    # advice: the PredPeakFactor that would have been enough
+    # (fragment.c:362,477: max peaks per task * 6 / particles per task)
+    best_pred_peak_factor: float = 0.0
 
 
 def run_fragmentation(params: Params, cosmo: Cosmology,
@@ -421,13 +424,47 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     loc[sel] = np.arange(n, dtype=np.int32)
     timings["sort"] = time.perf_counter() - t0
 
+    # ---- guard rails (fragment.c:258-283, build_groups.c:350-357) ----
+    # Nalloc analog: the particle count the MaxMemPerParticle budget can
+    # hold; overflow prints the reference's advice and aborts only under
+    # ExitIfExtraParticles (first-turn overflow always aborts there; this
+    # single-turn driver maps to the warn-or-abort turn-1 case)
+    nfields = {1: 1, 2: 2, 3: 4}[params.lpt_order]
+    nseg = (len(fmax_result.vel_segments)
+            if fmax_result.vel_segments is not None else 1)
+    bytes_per_stored = (8 + 4 + 3 * nfields * 4) \
+        + (4 + 4 + 3 * nfields * 4 * nseg + 4 + 4)
+    nalloc = int(ncells * max(0.0, params.MaxMemPerParticle - 8)
+                 / bytes_per_stored)
+    if n > nalloc:
+        need = int((n - nalloc) * bytes_per_stored / ncells) + 1 \
+            + int(params.MaxMemPerParticle)
+        print(f"CRITICAL WARNING: budget allows {nalloc} stored particles "
+              f"but {n} are needed (overhead {n / ncells:.3f}).\n"
+              f"Please increase MaxMemPerParticle to at least {need}"
+              + (" — aborting (ExitIfExtraParticles)"
+                 if params.ExitIfExtraParticles else ""))
+        if params.ExitIfExtraParticles:
+            raise MemoryError(
+                f"stored particles {n} exceed the MaxMemPerParticle "
+                f"budget ({nalloc}); set MaxMemPerParticle >= {need}")
+
     # ---- peaks and capacity ----
     t0 = time.perf_counter()
     npeaks = count_peaks(F_grid, Flast, geom.pbc)
     maxg = npeaks + 3
+    pred_npeaks = int(ncells / 6.0 * params.PredPeakFactor)
+    if npeaks + 2 > pred_npeaks:
+        # the reference aborts here because its group arrays are
+        # pre-carved at PredNpeaks (build_groups.c:350-357); this engine
+        # sizes them exactly, so honor the contract with a warning
+        print(f"WARNING: {npeaks} peaks exceed the PredPeakFactor "
+              f"prediction ({pred_npeaks}); the reference would abort — "
+              f"set PredPeakFactor >= {npeaks * 6.0 / ncells:4.2f}")
     timings["peaks"] = time.perf_counter() - t0
     if verbose:
-        print(f"  fragmentation: {n} stored particles, {npeaks} peaks")
+        print(f"  fragmentation: {n} stored particles, {npeaks} peaks, "
+              f"overhead {n / ncells:.3f}")
 
     # ---- tables and parameters ----
     fpar = fragment_parameters(min(2, params.lpt_order),
@@ -660,4 +697,5 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                           counters=counters, npeaks=npeaks, nstored=n,
                           plc=plc_result, particle_pos=pos,
                           particle_group=gop, particle_zacc=zacc,
-                          timings=timings)
+                          timings=timings,
+                          best_pred_peak_factor=npeaks * 6.0 / ncells)

@@ -164,7 +164,9 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         counters=counters,
         npeaks=sum(r.npeaks for r in results),
         nstored=sum(r.nstored for r in results),
-        timings={"total": max(r.timings["total"] for r in results)})
+        timings={"total": max(r.timings["total"] for r in results)},
+        best_pred_peak_factor=max(r.best_pred_peak_factor
+                                  for r in results))
     if results[0].plc is not None:
         from .driver import PlcResult
         merged.plc = PlcResult(

@@ -414,9 +414,13 @@ def write_histories(params: Params, groups,
                     base += nb
     else:
         with open(path, "wb") as fd:
+            # exact fwrite sequence of write_histories
+            # (write_halos.c:1035-1103): record-length record, global
+            # (Ntrees, Nbranches) record, then one collector block =
+            # [tree count][branches per tree][branch data]
             _write_record(fd, np.array([HISTORIES_DTYPE.itemsize], "<i4"))
             _write_record(fd, np.array([ntrees, nbranch], "<i4"))
+            _write_record(fd, np.array([ntrees], "<i4"))
             _write_record(fd, np.asarray(treelen, "<i4"))
-            if nbranch:
-                _write_record(fd, rec)
+            _write_record(fd, rec)
     return path

@@ -19,7 +19,8 @@ from .cosmology import Cosmology
 
 
 def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
-                 write_outputs: bool = True, chips: int = None):
+                 write_outputs: bool = True, chips: int = None,
+                 enforce_memory: bool = True):
     from .fmax import run_fmax, fmax_pdf
     from .fragment.driver import run_fragmentation
     from .io import catalogs as io_cat
@@ -39,6 +40,16 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
               f"(sigma8={params.Sigma8:.4f})")
     if write_outputs:
         cosmo.write_cosmology_file(outdir)
+
+    if enforce_memory:
+        # pre-flight memory budget BEFORE any grid allocation: abort with
+        # the per-array map when MaxMem / MaxMemPerParticle / HBM are
+        # exceeded (allocations.c:196-204,317-324 analog)
+        from .planner import enforce_budget, estimate_file_sizes
+        enforce_budget(params, n_chips=chips or 1, verbose=verbose,
+                       cosmo=cosmo)
+        if verbose and write_outputs:
+            estimate_file_sizes(params, cosmo)
 
     from .plc import build_plc_geometry, write_plc_catalog, write_nz
     plc_geom = build_plc_geometry(params, cosmo, verbose=verbose)
@@ -97,6 +108,11 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                                      scaledep_gm=scaledep_gm,
                                      verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
+    if verbose and frag_res.best_pred_peak_factor:
+        # fragment.c:477 advice line
+        print(f"  the PredPeakFactor parameter could have been "
+              f"{frag_res.best_pred_peak_factor:5.2f} in place of "
+              f"{params.PredPeakFactor:5.2f}")
 
     written = []
     if write_outputs:
