@@ -90,6 +90,9 @@ class Params:
     fr0: float = 1.e-8                   # -DFR0
     use_sim_params: bool = False         # -DUSE_SIM_PARAMS calibration set
     snapshot: bool = False               # -DSNAPSHOT products (zacc, group ID)
+    classic_fragmentation: bool = False  # -DCLASSIC_FRAGMENTATION: ship the
+                                         # full boundary layer instead of the
+                                         # two-turn needed-particle scheme
 
     # runtime backend controls (no analog in the reference)
     dtype: str = "float32"              # product float type (fp32 like reference default)

@@ -115,7 +115,8 @@ class _SweepOutput(ctypes.Structure):
                 ("t_appear", _f32p), ("t_peak", _f32p), ("t_merge", _f32p),
                 ("good", _u8p), ("alive", _u8p),
                 ("ngroups", _i32p), ("counters", _u64p),
-                ("group_of_particle", _i32p), ("zacc", _f32p)]
+                ("group_of_particle", _i32p), ("zacc", _f32p),
+                ("gq", _f32p)]
 
 
 def fragment_parameters(order: int, use_sim_params: bool = False):
@@ -315,12 +316,22 @@ class FragmentResult:
     # advice: the PredPeakFactor that would have been enough
     # (fragment.c:362,477: max peaks per task * 6 / particles per task)
     best_pred_peak_factor: float = 0.0
+    # final Lagrangian CM per group [ngroups+1, 3] in LOCAL sub-box
+    # coords (consumed by the two-turn boundary-sphere update_map)
+    groups_q: np.ndarray = None
 
 
 def run_fragmentation(params: Params, cosmo: Cosmology,
                       fmax_result: FmaxResult, plc_geom=None,
                       scaledep_gm=None, geom: SubboxGeometry = None,
+                      cell_mask: np.ndarray = None, quick: bool = False,
                       verbose: bool = True) -> FragmentResult:
+    """cell_mask: optional uint8/bool array over the local padded grid
+    (ravelled, z fastest) restricting the stored particle set — the host
+    analog of the reference's needed-particle bitmaps (frag_map,
+    distribute.c:670-698).  quick: stripped first-turn sweep
+    (quick_build_groups, build_groups.c:1882-2243): no catalogs, no PLC,
+    no segment recomputation — just the group state + CMs for update_map."""
     t_all = time.perf_counter()
     timings = {}
     N = fmax_result.grid.N
@@ -328,6 +339,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     if geom is None:
         geom = SubboxGeometry(L=(N, N, N), pbc=(1, 1, 1), safe=(0, 0, 0),
                               stabl=(0, 0, 0), G=(N, N, N))
+    if quick:
+        plc_geom = None
 
     # ---- gather products to host, select and sort (fragment.c:484-520) ----
     t0 = time.perf_counter()
@@ -354,6 +367,10 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                       & (lz < geom.L[2]))
             rows = np.flatnonzero(inside)
             lin = ((lx[rows] * geom.L[1]) + ly[rows]) * geom.L[2] + lz[rows]
+        if cell_mask is not None:
+            keep = cell_mask[lin] != 0
+            rows = rows[keep]
+            lin = lin[keep]
         Fsel = sp.F[rows]
         order = np.argsort(-Fsel, kind="stable")
         rows = rows[order]
@@ -384,6 +401,10 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             cell_sel = np.ravel_multi_index(
                 np.meshgrid(*idx, indexing="ij"), (N, N, N)).ravel()
             F_grid = F_full.ravel()[cell_sel].reshape(geom.L)
+        if cell_mask is not None:
+            F_grid = np.where(
+                cell_mask.reshape(geom.L) != 0, F_grid,
+                np.float32(-10.0)).astype(np.float32)
         sel = np.flatnonzero(F_grid.ravel() >= Flast).astype(np.int64)
         Fsel = F_grid.ravel()[sel]
         order = np.argsort(-Fsel, kind="stable")
@@ -409,7 +430,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
 
     # RECOMPUTE_DISPLACEMENTS: gather every segment's displacement set
     seg_vel = None
-    if fmax_result.vel_segments is not None:
+    if fmax_result.vel_segments is not None and not quick:
         def gather_seg(vs, key):
             if key not in vs:
                 return None
@@ -475,7 +496,10 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     sd_tabs = (growth_tables_2d(params, cosmo)
                if scaledep_gm is not None else None)
     sigma_grid = math.sqrt(float(fmax_result.smoothing.true_variance[-1]))
-    outF = np.ascontiguousarray(params.output_F, np.float64)
+    # quick turn captures no catalogs (nout=0 -> the capture trigger
+    # never fires, like quick_build_groups skipping write_catalog)
+    outF = np.ascontiguousarray(
+        [] if quick else params.output_F, np.float64)
     nout = len(outF)
 
     # ---- capture + output buffers ----
@@ -497,6 +521,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     g_tmg = np.zeros(maxg, np.float32)
     g_good = np.zeros(maxg, np.uint8)
     g_alive = np.zeros(maxg, np.uint8)
+    g_q = np.zeros(maxg * 3, np.float32)
     g_ngroups = np.zeros(1, np.int32)
     counters = np.zeros(NCOUNTERS, np.uint64)
     gop = np.zeros(n, np.int32)
@@ -596,7 +621,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                       ngroups=p(g_ngroups, _i32p),
                       counters=p(counters, _u64p),
                       group_of_particle=p(gop, _i32p),
-                      zacc=p(zacc, _f32p))
+                      zacc=p(zacc, _f32p),
+                      gq=p(g_q, _f32p))
 
     # ---- past light cone buffers ----
     plc_on = plc_geom is not None and plc_geom.enabled
@@ -655,7 +681,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     catalogs = []
     stabl_f = np.asarray(geom.stabl, np.float32)
     Gf = np.asarray(geom.G, np.float32)
-    for iout, z in enumerate(params.output_z):
+    for iout, z in enumerate([] if quick else params.output_z):
         c = int(cap_count[iout])
         base = iout * maxg
         q = cap_q[3 * base:3 * (base + c)].reshape(-1, 3) + stabl_f
@@ -698,4 +724,5 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                           plc=plc_result, particle_pos=pos,
                           particle_group=gop, particle_zacc=zacc,
                           timings=timings,
-                          best_pred_peak_factor=npeaks * 6.0 / ncells)
+                          best_pred_peak_factor=npeaks * 6.0 / ncells,
+                          groups_q=g_q[:3 * (ng + 1)].reshape(-1, 3))

@@ -15,7 +15,9 @@ thread pool keeps all host cores busy.
 
 from __future__ import annotations
 
+import ctypes
 import math
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Tuple
 
@@ -24,7 +26,7 @@ import numpy as np
 from ..config import Params
 from ..cosmology import Cosmology
 from .driver import (CatalogSnapshot, FragmentResult, SubboxGeometry,
-                     run_fragmentation)
+                     run_fragmentation, _f32p, _i32p, _u8p)
 
 
 def _host_copy(params, fmax_result, verbose=False):
@@ -113,16 +115,114 @@ def subbox_geometries(params: Params, cosmo: Cosmology, largest_mass: float,
     return geoms
 
 
+def turn0_bounds(geom: SubboxGeometry):
+    """Turn-0 map box: the well-resolved region plus a 1-cell rim on each
+    non-periodic side (create_map, fragment.c:708-751)."""
+    r1, r2 = [], []
+    for d in range(3):
+        if geom.pbc[d]:
+            r1.append(0)
+            r2.append(geom.L[d])
+        else:
+            r1.append(max(0, geom.safe[d] - 1))
+            r2.append(min(geom.L[d], geom.L[d] - geom.safe[d] + 1))
+    return r1, r2
+
+
+def _map_update_lib():
+    from .. import native
+    lib = native.load("groupsweep")
+    if not getattr(lib, "_map_update_sig", False):
+        lib.map_update.restype = ctypes.c_int
+        lib.map_update.argtypes = [
+            ctypes.c_int32, _i32p, _f32p, _i32p, _i32p, _i32p, _i32p,
+            _u8p, ctypes.c_double, ctypes.POINTER(ctypes.c_int64)]
+        lib._map_update_sig = True
+    return lib
+
+
+def boundary_sphere_map(params: Params, geom: SubboxGeometry, quick_res,
+                        r1, r2):
+    """Native update_map (build_groups.c:2246-2318): per quick-pass group,
+    request a sphere of radius BoundaryLayerFactor * R_Lag(mass) around
+    its Lagrangian CM; returns (add_map[ncells] uint8, counts[2]) with
+    counts = (cells added, cells beyond the boundary layer)."""
+    lib = _map_update_lib()
+    ncells = int(np.prod(geom.L))
+    add = np.zeros(ncells, np.uint8)
+    counts = np.zeros(2, np.int64)
+    g = quick_res.groups
+    mass = np.ascontiguousarray(g.mass, np.int32)
+    gq = np.ascontiguousarray(quick_res.groups_q, np.float32)
+    arr3 = lambda v: np.ascontiguousarray(v, np.int32)  # noqa: E731
+    rc = lib.map_update(
+        np.int32(g.ngroups), mass.ctypes.data_as(_i32p),
+        gq.ctypes.data_as(_f32p),
+        arr3(geom.L).ctypes.data_as(_i32p),
+        arr3(geom.pbc).ctypes.data_as(_i32p),
+        arr3(r1).ctypes.data_as(_i32p), arr3(r2).ctypes.data_as(_i32p),
+        add.ctypes.data_as(_u8p),
+        ctypes.c_double(params.BoundaryLayerFactor),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise RuntimeError(f"map_update failed with code {rc}")
+    return add, counts
+
+
+def run_fragmentation_two_turn(params: Params, cosmo: Cosmology,
+                               fmax_result, geom: SubboxGeometry,
+                               plc_geom=None, scaledep_gm=None,
+                               verbose: bool = False) -> FragmentResult:
+    """The V5 two-turn needed-particle scheme for one sub-box
+    (fragment.c:159-316): turn 0 loads only the well-resolved region +
+    1-cell rim and runs a stripped quick sweep; update_map adds
+    boundary-layer spheres around the halos it found; turn 1 re-selects
+    that union and runs the full sweep.  Fragmentation memory and sweep
+    work scale with the collapsed fraction of the RESOLVED region, not
+    the padded volume."""
+    t0 = time.perf_counter()
+    r1, r2 = turn0_bounds(geom)
+    base = np.zeros(geom.L, np.uint8)
+    base[r1[0]:r2[0], r1[1]:r2[1], r1[2]:r2[2]] = 1
+    base = base.ravel()
+    qres = run_fragmentation(params, cosmo, fmax_result, geom=geom,
+                             scaledep_gm=scaledep_gm, cell_mask=base,
+                             quick=True, verbose=False)
+    add, counts = boundary_sphere_map(params, geom, qres, r1, r2)
+    t_quick = time.perf_counter() - t0
+    res = run_fragmentation(params, cosmo, fmax_result,
+                            plc_geom=plc_geom, scaledep_gm=scaledep_gm,
+                            geom=geom, cell_mask=base | add,
+                            verbose=False)
+    res.timings["quick"] = t_quick
+    res.timings["boundary_requested"] = float(counts[0])
+    res.timings["beyond_boundary"] = float(counts[1])
+    if verbose:
+        print(f"  two-turn: {int(counts[0])} boundary particles "
+              f"requested, {res.nstored} stored"
+              + (f", {int(counts[1])} beyond the boundary layer"
+                 if counts[1] else ""))
+    return res
+
+
 def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
                                fmax_result, nbox, plc_geom=None,
                                scaledep_gm=None, largest_mass=None,
                                max_workers: int = None,
+                               two_turn: bool = None,
                                verbose: bool = True) -> FragmentResult:
-    """Fragment the box as nbox independent sub-domains and merge."""
+    """Fragment the box as nbox independent sub-domains and merge.
+
+    two_turn (default: on unless params.classic_fragmentation) selects the
+    V5 needed-particle scheme; sub-boxes with PBCs in all directions have
+    no boundary layer and always take the single-turn path
+    (fragment.c:190-199 all_pbc)."""
     if largest_mass is None:
         from ..io.catalogs import largest_halo_mass
         largest_mass = largest_halo_mass(params, cosmo)
     geoms = subbox_geometries(params, cosmo, largest_mass, nbox)
+    if two_turn is None:
+        two_turn = not params.classic_fragmentation
 
     # materialize the products on the host ONCE: each sub-box sweep slices
     # these numpy arrays instead of re-fetching full device arrays
@@ -131,9 +231,14 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "
-              f"{nbox}; box 0: L={g0.L} safe={g0.safe}")
+              f"{nbox}; box 0: L={g0.L} safe={g0.safe}"
+              + (" (two-turn)" if two_turn else ""))
 
     def one(geom):
+        if two_turn and not all(geom.pbc):
+            return run_fragmentation_two_turn(
+                params, cosmo, fmax_result, geom, plc_geom=plc_geom,
+                scaledep_gm=scaledep_gm, verbose=False)
         return run_fragmentation(params, cosmo, fmax_result,
                                  plc_geom=plc_geom,
                                  scaledep_gm=scaledep_gm, geom=geom,
@@ -164,7 +269,9 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         counters=counters,
         npeaks=sum(r.npeaks for r in results),
         nstored=sum(r.nstored for r in results),
-        timings={"total": max(r.timings["total"] for r in results)},
+        timings={"total": max(r.timings["total"] for r in results),
+                 "overhead": (sum(r.nstored for r in results)
+                              / float(params.GridSize) ** 3)},
         best_pred_peak_factor=max(r.best_pred_peak_factor
                                   for r in results))
     if results[0].plc is not None:
@@ -178,5 +285,17 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
             nz=np.sum([r.plc.nz for r in results], axis=0),
             overflow=any(r.plc.overflow for r in results))
     if verbose:
-        print(f"  merged: {counters[0]} peaks, {counters[14]} good halos")
+        nreq = int(sum(r.timings.get("boundary_requested", 0.0)
+                       for r in results))
+        nbeyond = int(sum(r.timings.get("beyond_boundary", 0.0)
+                          for r in results))
+        msg = (f"  merged: {counters[0]} peaks, {counters[14]} good "
+               f"halos; stored/total overhead "
+               f"{merged.timings['overhead']:.3f}")
+        if two_turn:
+            msg += f" ({nreq} boundary particles requested)"
+        print(msg)
+        if nbeyond:
+            print(f"  WARNING: {nbeyond} requested particles lie beyond "
+                  f"the boundary layer, some halos may be inaccurate")
     return merged

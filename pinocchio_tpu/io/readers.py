@@ -19,6 +19,23 @@ PLC_DTYPE = np.dtype([("name", "<u8"), ("red", "<f4"), ("x", "<f4"),
                       ("obsz", "<f4")])
 
 
+def _multifile_paths(path: str):
+    """NumFiles>1 outputs are chunked as <path>.0, <path>.1, ...
+    (collector scheme, write_halos.c:194-225; same discovery rule as
+    ReadPinocchio5.py): return the ordered chunk list, or [path]."""
+    import os
+    if os.path.exists(path):
+        return [path]
+    if not os.path.exists(path + ".0"):
+        raise FileNotFoundError(f"{path} (or {path}.0) not found")
+    out = []
+    i = 0
+    while os.path.exists(f"{path}.{i}"):
+        out.append(f"{path}.{i}")
+        i += 1
+    return out
+
+
 def _read_record(fd, dtype=np.uint8):
     m = np.fromfile(fd, "<i4", 1)
     if len(m) == 0:
@@ -30,7 +47,12 @@ def _read_record(fd, dtype=np.uint8):
 
 
 def read_catalog(path: str) -> np.ndarray:
-    """Halo catalog -> structured array (catalog or ascii layout)."""
+    """Halo catalog -> structured array (catalog or ascii layout);
+    multi-file (NumFiles>1) aware."""
+    files = _multifile_paths(path)
+    if len(files) > 1:
+        return np.concatenate([read_catalog(f) for f in files])
+    path = files[0]
     if _is_ascii(path):
         raw = np.loadtxt(path)
         rec = np.zeros(len(raw), CATALOG_DTYPE)
@@ -57,7 +79,17 @@ def read_catalog(path: str) -> np.ndarray:
 
 
 def read_histories(path: str):
-    """Merger histories -> (ntrees, list of per-tree structured arrays)."""
+    """Merger histories -> (ntrees, list of per-tree structured arrays);
+    multi-file aware."""
+    files = _multifile_paths(path)
+    if len(files) > 1:
+        total, trees = 0, []
+        for f in files:
+            n, t = read_histories(f)
+            total += n
+            trees.extend(t)
+        return total, trees
+    path = files[0]
     if _is_ascii(path):
         trees = []
         with open(path) as fd:
@@ -95,6 +127,11 @@ def read_histories(path: str):
 
 
 def read_plc(path: str) -> np.ndarray:
+    """PLC catalog -> structured array; multi-file aware."""
+    files = _multifile_paths(path)
+    if len(files) > 1:
+        return np.concatenate([read_plc(f) for f in files])
+    path = files[0]
     if _is_ascii(path):
         raw = np.loadtxt(path)
         rec = np.zeros(len(raw), PLC_DTYPE)
@@ -116,6 +153,24 @@ def read_plc(path: str) -> np.ndarray:
 
 def read_mf(path: str) -> np.ndarray:
     return np.loadtxt(path)
+
+
+def read_timeless_snapshot(path: str):
+    """Timeless snapshot -> dict of typed per-particle fields
+    (write_timeless_snapshot layout, write_snapshot.c:207-342): ID, FMAX,
+    the LPT displacement stacks, ZACC, group membership; plus the parsed
+    Gadget header."""
+    from .snapshot import read_snapshot
+    header, blocks = read_snapshot(path)
+    typed = {}
+    spec = {"ID  ": ("<u4", 1), "FMAX": ("<f4", 1), "VEL ": ("<f4", 3),
+            "VEL2": ("<f4", 3), "VL31": ("<f4", 3), "VL32": ("<f4", 3),
+            "ZACC": ("<f4", 1), "GRUP": ("<i4", 1)}
+    for label, (dt, ncomp) in spec.items():
+        if label in blocks:
+            a = np.frombuffer(blocks[label], dt)
+            typed[label.strip()] = a.reshape(-1, ncomp) if ncomp > 1 else a
+    return header, typed
 
 
 def _is_ascii(path: str) -> bool:

@@ -173,6 +173,9 @@ typedef struct {
     uint64_t *counters;     /* [16] event counters */
     int32_t *group_of_particle;  /* [n] final group id per particle, or 0/1 */
     float *zacc;            /* [n] accretion redshift (SNAPSHOT products) */
+    float *gq;              /* [maxg*3] final Lagrangian CM per group in
+                             * local sub-box coords, or NULL (used by the
+                             * two-turn update_map, build_groups.c:2246) */
 } sweep_output;
 
 /* ------------------------------------------------------------------ */
@@ -1387,6 +1390,8 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     memcpy(out->t_merge, G.t_merge, (ng + 1) * sizeof(float));
     memcpy(out->good, G.good, (ng + 1) * sizeof(uint8_t));
     memcpy(out->alive, G.alive, (ng + 1) * sizeof(uint8_t));
+    if (out->gq)
+        memcpy(out->gq, G.q, (ng + 1) * 3 * sizeof(float));
 
     (void)plc_started;
     free(mpow_rlag); free(mpow_espo);
@@ -1399,5 +1404,78 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     free(G.mass_at_merger); free(G.merged_with);
     free(G.halo_app); free(G.ll); free(G.good); free(G.alive);
     free(G.parent);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* two-turn needed-particle scheme: boundary-sphere map update         */
+/* (update_map, build_groups.c:2246-2318).  After the quick sweep,     */
+/* each group requests a sphere of radius blf * R_Lagrangian(mass)     */
+/* around its Lagrangian CM; cells outside the already-mapped          */
+/* resolved+rim box [r1, r2) are added to add_map.  counts[0] = cells  */
+/* added, counts[1] = requested cells beyond the boundary layer (the   */
+/* reference's 'some halos may be inaccurate' warning).                */
+/* ------------------------------------------------------------------ */
+
+int map_update(int32_t ngroups, const int32_t *mass, const float *gq,
+               const int32_t *L, const int32_t *pbc,
+               const int32_t *r1, const int32_t *r2,
+               uint8_t *add_map, double blf, int64_t *counts)
+{
+    const int32_t Lx = L[0], Ly = L[1], Lz = L[2];
+    counts[0] = counts[1] = 0;
+    for (int32_t g = FILAMENT + 1; g <= ngroups; g++) {
+        if (mass[g] <= 0)
+            continue;
+        const int ig = (int)gq[3 * g];
+        const int jg = (int)gq[3 * g + 1];
+        const int kg = (int)gq[3 * g + 2];
+        const int size = (int)(blf * cbrt((double)mass[g]
+                                          / 4.188790205) + 0.5);
+        if (size <= 0)
+            continue;
+        /* fast path: the whole request cube lies inside the resolved+rim
+         * box already shipped in turn 0 (the reference instead tests the
+         * map bit per cell) */
+        if ((pbc[0] || (ig - size >= r1[0] && ig + size < r2[0])) &&
+            (pbc[1] || (jg - size >= r1[1] && jg + size < r2[1])) &&
+            (pbc[2] || (kg - size >= r1[2] && kg + size < r2[2])))
+            continue;
+        const int size2 = size * size;
+        for (int i1 = ig - size; i1 < ig + size; i1++) {
+            int i = i1;
+            if (i1 < 0 || i1 >= Lx)
+                i = pbc[0] ? (i1 < 0 ? i1 + Lx : i1 - Lx) : -1;
+            for (int j1 = jg - size; j1 < jg + size; j1++) {
+                int j = j1;
+                if (j1 < 0 || j1 >= Ly)
+                    j = pbc[1] ? (j1 < 0 ? j1 + Ly : j1 - Ly) : -1;
+                for (int k1 = kg - size; k1 < kg + size; k1++) {
+                    int k = k1;
+                    if (k1 < 0 || k1 >= Lz)
+                        k = pbc[2] ? (k1 < 0 ? k1 + Lz : k1 - Lz) : -1;
+                    if (i < 0 || j < 0 || k < 0) {
+                        counts[1]++;
+                        continue;
+                    }
+                    /* skip cells inside the turn-0 map */
+                    if ((pbc[0] || (i >= r1[0] && i < r2[0])) &&
+                        (pbc[1] || (j >= r1[1] && j < r2[1])) &&
+                        (pbc[2] || (k >= r1[2] && k < r2[2])))
+                        continue;
+                    const int rr = (i1 - ig) * (i1 - ig)
+                        + (j1 - jg) * (j1 - jg) + (k1 - kg) * (k1 - kg);
+                    if (rr <= size2) {
+                        const int64_t cell =
+                            (int64_t)k + (int64_t)Lz * (j + (int64_t)Ly * i);
+                        if (!add_map[cell]) {
+                            add_map[cell] = 1;
+                            counts[0]++;
+                        }
+                    }
+                }
+            }
+        }
+    }
     return 0;
 }

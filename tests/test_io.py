@@ -188,3 +188,88 @@ def test_native_ascii_writers_match_python(tmp_path):
     with mock.patch.object(io_cat, "_fastio", lambda: None):
         f2 = io_cat.write_histories(p, gs, str(d2))
     assert open(f1).read() == open(f2).read()
+
+
+def test_multifile_readers(hmf_validation_params, hmf_validation_cosmology,
+                           fmax_result, tmp_path):
+    """NumFiles>1 chunked outputs read back as one catalog
+    (ReadPinocchio5-style .out.<i> discovery)."""
+    import dataclasses
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io import readers
+    from pinocchio_tpu.io.catalogs import write_catalog
+    p = dataclasses.replace(hmf_validation_params, NumFiles=2)
+    frag = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                             verbose=False)
+    snap = frag.catalogs[-1]
+    write_catalog(p, snap, str(tmp_path))
+    base = os.path.join(str(tmp_path),
+                        f"pinocchio.0.0000.{p.RunFlag}.catalog.out")
+    assert not os.path.exists(base) and os.path.exists(base + ".1")
+    rec = readers.read_catalog(base)
+    assert len(rec) == len(snap.mass)
+    np.testing.assert_array_equal(rec["name"], snap.name)
+    with pytest.raises(FileNotFoundError):
+        readers.read_catalog(os.path.join(str(tmp_path), "nope.out"))
+
+
+def test_timeless_snapshot_reader(hmf_validation_params,
+                                  hmf_validation_cosmology, fmax_result,
+                                  tmp_path):
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io.readers import read_timeless_snapshot
+    from pinocchio_tpu.io.snapshot import write_timeless_snapshot
+    p = hmf_validation_params
+    frag = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                             verbose=False)
+    path = write_timeless_snapshot(p, fmax_result, frag, str(tmp_path))
+    header, fields = read_timeless_snapshot(path)
+    N = p.GridSize
+    assert fields["ID"][0] == 1 and len(fields["ID"]) == N ** 3
+    np.testing.assert_allclose(
+        fields["FMAX"], np.asarray(fmax_result.products.Fmax).ravel())
+    assert fields["VEL"].shape == (N ** 3, 3)
+    assert fields["GRUP"].max() > 1          # real group ids present
+    # zacc only set for stored (collapsed) particles
+    assert (fields["ZACC"] >= -1.0).all()
+
+
+def test_validate_fits_script(hmf_validation_params,
+                              hmf_validation_cosmology, fmax_result,
+                              tmp_path):
+    """scripts/validate_fits.py (ValidateFits.py analog): 0 errors on a
+    freshly converted run, errors detected on a corrupted FITS."""
+    import dataclasses
+    import importlib.util
+    import shutil
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io.catalogs import write_catalog
+    from pinocchio_tpu.io.fits import convert_catalog_to_fits
+    p = hmf_validation_params
+    frag = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                             verbose=False)
+    for snap in frag.catalogs:
+        path = write_catalog(p, snap, str(tmp_path))
+        convert_catalog_to_fits(path, params=p)
+    shutil.copy("/root/reference/HMF_Validation/parameter_file",
+                str(tmp_path / "parameter_file"))
+    shutil.copy("/root/reference/HMF_Validation/outputs",
+                str(tmp_path / "outputs"))
+    spec = importlib.util.spec_from_file_location(
+        "validate_fits", os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "validate_fits.py"))
+    vf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vf)
+    rc = vf.main([str(tmp_path / "parameter_file"), "--dir", str(tmp_path),
+                  "--no-plc", "--no-histories"])
+    assert rc == 0
+    # corrupt one FITS row and expect an error
+    fits_files = [f for f in os.listdir(str(tmp_path))
+                  if f.endswith(".fits")]
+    target = str(tmp_path / fits_files[0])
+    with open(target, "r+b") as fd:
+        fd.seek(os.path.getsize(target) // 2)   # mid-table, not padding
+        fd.write(b"\xff" * 64)
+    rc = vf.main([str(tmp_path / "parameter_file"), "--dir", str(tmp_path),
+                  "--no-plc", "--no-histories"])
+    assert rc > 0
