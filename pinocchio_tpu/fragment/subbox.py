@@ -29,8 +29,18 @@ from .driver import (CatalogSnapshot, FragmentResult, SubboxGeometry,
                      run_fragmentation, _f32p, _i32p, _u8p)
 
 
-def _host_copy(params, fmax_result, verbose=False):
+def _host_copy(params, fmax_result, verbose=False, local_only=False):
+    """local_only: multi-host mode — materialize ONLY this process's
+    addressable shards (parallel/multihost.fetch_local_sparse) instead of
+    gathering the global arrays through one host's RAM."""
+    import dataclasses
+
     from ..fmax import fetch_products_host
+    if local_only and fmax_result.host_products is None \
+            and not isinstance(fmax_result.products.Fmax, np.ndarray):
+        from ..parallel.multihost import fetch_local_sparse
+        sp = fetch_local_sparse(params, fmax_result)
+        return dataclasses.replace(fmax_result, host_products=sp)
     return fetch_products_host(params, fmax_result, verbose=verbose)
 
 
@@ -210,24 +220,37 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
                                scaledep_gm=None, largest_mass=None,
                                max_workers: int = None,
                                two_turn: bool = None,
+                               host_slice: Tuple[int, int] = None,
                                verbose: bool = True) -> FragmentResult:
     """Fragment the box as nbox independent sub-domains and merge.
 
     two_turn (default: on unless params.classic_fragmentation) selects the
     V5 needed-particle scheme; sub-boxes with PBCs in all directions have
     no boundary layer and always take the single-turn path
-    (fragment.c:190-199 all_pbc)."""
+    (fragment.c:190-199 all_pbc).
+
+    host_slice=(host_id, nhosts): multi-host mode — this process sweeps
+    only its round-robin share of the sub-boxes and fetches only its own
+    chips' shards (parallel/multihost)."""
     if largest_mass is None:
         from ..io.catalogs import largest_halo_mass
         largest_mass = largest_halo_mass(params, cosmo)
     geoms = subbox_geometries(params, cosmo, largest_mass, nbox)
     if two_turn is None:
         two_turn = not params.classic_fragmentation
+    multi_host = host_slice is not None and host_slice[1] > 1
+    if multi_host:
+        from ..parallel.multihost import host_subboxes
+        geoms = host_subboxes(geoms, *host_slice)
+        if not geoms:
+            raise ValueError(f"host {host_slice[0]} owns no sub-boxes "
+                             f"(nbox={nbox}, nhosts={host_slice[1]})")
 
     # materialize the products on the host ONCE: each sub-box sweep slices
     # these numpy arrays instead of re-fetching full device arrays
     # (the device->host link costs ~seconds/GB here)
-    fmax_result = _host_copy(params, fmax_result, verbose=verbose)
+    fmax_result = _host_copy(params, fmax_result, verbose=verbose,
+                             local_only=multi_host)
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "

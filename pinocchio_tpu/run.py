@@ -20,7 +20,10 @@ from .cosmology import Cosmology
 
 def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                  write_outputs: bool = True, chips: int = None,
-                 enforce_memory: bool = True):
+                 enforce_memory: bool = True, hosts=None):
+    """hosts=(host_id, nhosts): multi-host mode (parallel/multihost) —
+    this process sweeps its share of the sub-boxes from its own chips'
+    shards and writes its catalogs as .out.<host> chunks."""
     from .fmax import run_fmax, fmax_pdf
     from .fragment.driver import run_fragmentation
     from .io import catalogs as io_cat
@@ -95,13 +98,17 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                  os.path.join(outdir,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
 
-    if params.subbox_tasks > 1:
+    host_id, nhosts = hosts if hosts else (0, 1)
+    if params.subbox_tasks > 1 or nhosts > 1:
         from .fragment.subbox import choose_nbox, run_fragmentation_multibox
         largest = io_cat.largest_halo_mass(params, cosmo)
-        nbox = choose_nbox(params, cosmo, largest, params.subbox_tasks)
+        ntasks = max(params.subbox_tasks, nhosts)
+        nbox = choose_nbox(params, cosmo, largest, ntasks)
         frag_res = run_fragmentation_multibox(
             params, cosmo, fmax_res, nbox, plc_geom=plc_geom,
-            scaledep_gm=scaledep_gm, largest_mass=largest, verbose=verbose)
+            scaledep_gm=scaledep_gm, largest_mass=largest,
+            host_slice=(host_id, nhosts) if nhosts > 1 else None,
+            verbose=verbose)
     else:
         frag_res = run_fragmentation(params, cosmo, fmax_res,
                                      plc_geom=plc_geom,
@@ -126,24 +133,42 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
 
         largest = io_cat.largest_halo_mass(params, cosmo)
         tick("io_largest")
+
+        def _host_chunk(path):
+            # multi-host: each process's catalogs become .out.<host>
+            # chunks of one logical multi-file output (the collector
+            # scheme's file layout, write_halos.c:194-225)
+            if nhosts > 1:
+                chunk = f"{path}.{host_id}"
+                os.replace(path, chunk)
+                return chunk
+            return path
+
         for snap in frag_res.catalogs:
-            written.append(io_cat.write_catalog(params, snap, outdir))
+            written.append(_host_chunk(
+                io_cat.write_catalog(params, snap, outdir)))
             tick("io_catalog")
-            written.append(io_cat.compute_mf(params, cosmo, snap, outdir,
-                                             largest=largest))
+            if nhosts == 1:
+                written.append(io_cat.compute_mf(params, cosmo, snap,
+                                                 outdir, largest=largest))
             tick("io_mf")
+        if nhosts > 1 and verbose and host_id == 0:
+            print("  multi-host: mass functions skipped (each host holds "
+                  "a partial catalog; merge the .out.<host> chunks and "
+                  "rerun compute_mf offline)")
         if not params.DoNotWriteHistories:
-            written.append(io_cat.write_histories(params, frag_res.groups,
-                                                  outdir))
+            written.append(_host_chunk(io_cat.write_histories(
+                params, frag_res.groups, outdir)))
             tick("io_histories")
         if frag_res.plc is not None and not params.DoNotWriteCatalogs:
-            written.append(write_plc_catalog(
+            written.append(_host_chunk(write_plc_catalog(
                 params, plc_geom,
                 dict(name=frag_res.plc.name, z=frag_res.plc.z,
                      mass=frag_res.plc.mass, x=frag_res.plc.x,
-                     v=frag_res.plc.v), outdir))
-            written.append(write_nz(params, cosmo, plc_geom,
-                                    frag_res.plc.nz, outdir))
+                     v=frag_res.plc.v), outdir)))
+            if nhosts == 1:
+                written.append(write_nz(params, cosmo, plc_geom,
+                                        frag_res.plc.nz, outdir))
             tick("io_plc")
         if params.WriteTimelessSnapshot:
             from .io.snapshot import write_timeless_snapshot
@@ -294,7 +319,23 @@ def main(argv=None):
     ap.add_argument("--chips", type=int, default=None,
                     help="shard the fmax phase over this many devices "
                     "(pencil mesh when the count factors)")
+    ap.add_argument("--hosts", type=int, default=None,
+                    help="number of processes in a multi-host run "
+                    "(jax.distributed bring-up; launch one process per "
+                    "host with matching --host-id)")
+    ap.add_argument("--host-id", type=int, default=None,
+                    help="this process's id in [0, hosts)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port for "
+                    "jax.distributed.initialize")
     args = ap.parse_args(argv)
+
+    hosts = None
+    if args.hosts and args.hosts > 1:
+        # must run BEFORE any backend/device use (MPI_Init analog)
+        from .parallel.multihost import initialize_cluster
+        hosts = initialize_cluster(args.hosts, args.coordinator,
+                                   args.host_id)
 
     from .backend import setup
     setup(platform=args.platform)
@@ -313,7 +354,8 @@ def main(argv=None):
     if args.mode is not None:
         run_special_mode(params, args.mode, outdir=args.outdir)
     else:
-        run_pipeline(params, outdir=args.outdir, chips=args.chips)
+        run_pipeline(params, outdir=args.outdir, chips=args.chips,
+                     hosts=hosts)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+"""Multi-host bring-up sketch (parallel/multihost): per-host shard
+fetch + sub-box ownership, unit-tested with a mocked cluster on the
+8-device CPU mesh (the real jax.distributed path shares all code below
+the initialize call)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def sharded_run(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.parallel import pfft
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p = dataclasses.replace(hmf_validation_params, GridSize=64)
+    res = run_fmax_distributed(p, hmf_validation_cosmology,
+                               pfft.make_pencil_mesh(8), verbose=False)
+    return p, res
+
+
+def test_initialize_cluster_single_process():
+    from pinocchio_tpu.parallel.multihost import initialize_cluster
+    hid, n = initialize_cluster(verbose=False)      # no-op path
+    assert (hid, n) == (0, 1)
+
+
+def test_fetch_local_sparse_full_equals_gather(sharded_run):
+    """fetch_local_sparse with no filter must equal the needed-particle
+    set of the global gather."""
+    from pinocchio_tpu.parallel.multihost import fetch_local_sparse
+    p, res = sharded_run
+    sp = fetch_local_sparse(p, res, f16=False)
+    F = np.asarray(res.products.Fmax).ravel()
+    want = np.flatnonzero(F >= p.Flast)
+    np.testing.assert_array_equal(sp.ci, want)
+    np.testing.assert_allclose(sp.F, F[want])
+    v1 = np.asarray(res.products.vel["v1"]).reshape(3, -1)
+    np.testing.assert_allclose(sp.vel["v1"], v1[:, want].T)
+
+
+def test_mocked_two_host_union(sharded_run):
+    """Two mocked hosts (device id parity) must partition the needed set
+    exactly: union == full fetch, intersection empty."""
+    import jax
+    from pinocchio_tpu.parallel.multihost import fetch_local_sparse
+    p, res = sharded_run
+    full = fetch_local_sparse(p, res, f16=False)
+    parts = []
+    for h in range(2):
+        sp = fetch_local_sparse(
+            p, res, f16=False,
+            device_filter=lambda d, h=h: d.id % 2 == h)
+        parts.append(sp)
+    ci = np.concatenate([s.ci for s in parts])
+    assert len(ci) == len(full.ci)
+    assert len(np.unique(ci)) == len(ci)
+    np.testing.assert_array_equal(np.sort(ci), full.ci)
+
+
+def test_host_subboxes_partition(hmf_validation_params,
+                                 hmf_validation_cosmology):
+    from pinocchio_tpu.fragment.subbox import (choose_nbox,
+                                               subbox_geometries)
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    from pinocchio_tpu.parallel.multihost import host_subboxes
+    p, c = hmf_validation_params, hmf_validation_cosmology
+    largest = largest_halo_mass(p, c)
+    geoms = subbox_geometries(p, c, largest, choose_nbox(p, c, largest, 8))
+    shares = [host_subboxes(geoms, h, 4) for h in range(4)]
+    assert sum(len(s) for s in shares) == len(geoms)
+    seen = [g.stabl for s in shares for g in s]
+    assert len(set(seen)) == len(geoms)
+
+
+def test_mocked_multihost_catalog_union(hmf_validation_params,
+                                        hmf_validation_cosmology,
+                                        fmax_result):
+    """Running the multibox fragmentation as two host-slices must yield
+    the same halo set as the single-process multibox run."""
+    from pinocchio_tpu.fragment.subbox import (choose_nbox,
+                                               run_fragmentation_multibox)
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    p, c = hmf_validation_params, hmf_validation_cosmology
+    largest = largest_halo_mass(p, c)
+    nbox = choose_nbox(p, c, largest, 4)
+    full = run_fragmentation_multibox(p, c, fmax_result, nbox,
+                                      largest_mass=largest, verbose=False)
+    names = []
+    for h in range(2):
+        part = run_fragmentation_multibox(
+            p, c, fmax_result, nbox, largest_mass=largest,
+            host_slice=(h, 2), verbose=False)
+        names.append(part.catalogs[-1].name)
+    union = np.concatenate(names)
+    assert len(np.unique(union)) == len(union)
+    np.testing.assert_array_equal(np.sort(union),
+                                  np.sort(full.catalogs[-1].name))
