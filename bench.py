@@ -1,37 +1,65 @@
 #!/usr/bin/env python
-"""Benchmark: fmax collapse throughput + end-to-end pipeline wall-clock.
+"""Benchmark: end-to-end pipeline wall-clock + collapse throughput + HMF
+residual, vs the (extrapolated) MPI reference at equal host count.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline (BASELINE.md): the reference's implied collapse-kernel throughput,
-~4.1e6 particle-radius solves/s on one CPU task (128^3 x 9 radii / 3.62 s,
-HMF_Validation/log_RUN.txt).  vs_baseline is the speedup of this engine's
-collapse phase (second derivatives + eigenvalue/ellipsoid solve, the same
-work accounted in the reference's 'collapse times' + 'deriv' timers) on one
-TPU chip.
+The headline metric is the END-TO-END wall-clock (IC + collapse cycle +
+LPT + fragmentation + catalog/mf/histories writing) at the chosen grid,
+resolution-matched to the reference's HMF_Validation config (1 Mpc/h
+cells). vs_baseline = extrapolated reference wall-clock / engine
+wall-clock at EQUAL HOST COUNT (this host's physical cores, ideal MPI
+scaling — generous to the reference).
 
-Usage: python bench.py [--grid N] [--platform cpu|axon] [--full]
+Why extrapolated: the MPI reference cannot be rebuilt on this image — it
+needs FFTW3(+MPI), PFFT, GSL and mpicc (src/Makefile:207-224,
+INSTALLATION:40-50) and none are installed (verified: no libfftw3*/
+libgsl*/libpfft*/fftw3.h/gsl_rng.h/mpicc anywhere on the filesystem, and
+package installation is not permitted).  The model instead scales the
+reference's own shipped single-task measurement (HMF_Validation/
+log_RUN.txt: 14.04 s total at 128^3, of which ~2.8 s is FFT execute +
+k-space ops) as
+    T_ref(N, ntasks) = [ (T_128 - T_fft) * (N/128)^3
+                         + T_fft * (N/128)^3 * log2(N)/log2(128) ]
+                       / ntasks
+i.e. O(N^3) for collapse/fragmentation/sort phases, O(N^3 log N) for the
+FFT share, and perfect strong scaling over the host's cores.
+
+Usage: python bench.py [--grid N] [--platform cpu|axon] [--repeat K]
+                       [--collapse-only] [--outdir D]
 """
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_SOLVES_PER_S = 4.1e6
+REF_SOLVES_PER_S = 4.1e6      # implied collapse-kernel rate, 1 CPU task
+REF_T128_TOTAL = 14.04        # HMF_Validation/log_RUN.txt total, 1 task
+REF_T128_FFT = 2.8            # its FFT execute + k-space + mem share
+
+
+def reference_wallclock(N: int, ntasks: int) -> float:
+    vol = (N / 128.0) ** 3
+    logf = math.log2(N) / math.log2(128)
+    return ((REF_T128_TOTAL - REF_T128_FFT) * vol
+            + REF_T128_FFT * vol * logf) / max(1, ntasks)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--full", action="store_true",
-                    help="also run fragmentation and report end-to-end")
+    ap.add_argument("--collapse-only", action="store_true",
+                    help="skip fragmentation/outputs (round-1 metric)")
     ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--outdir", default=None,
+                    help="where outputs are written (default: temp dir)")
     args = ap.parse_args()
 
     from pinocchio_tpu.backend import setup
@@ -42,7 +70,7 @@ def main():
     import numpy as np
     from pinocchio_tpu.config import read_parameter_file
     from pinocchio_tpu.cosmology import Cosmology
-    from pinocchio_tpu.fmax import Smoothing, fmax_loop, run_fmax
+    from pinocchio_tpu.fmax import Smoothing, fmax_loop
     from pinocchio_tpu.grids import Grid
     from pinocchio_tpu.ic import generate_kdensity
     from pinocchio_tpu.ops import collapse
@@ -51,56 +79,88 @@ def main():
         "/root/reference/HMF_Validation/parameter_file",
         norad=True, plc_enabled=False)
     params.GridSize = args.grid
-    # scale the box with the grid to keep the same resolution as the
-    # reference config (128 Mpc/h at 128^3)
+    # scale the box with the grid to keep the reference's resolution
+    # (128 Mpc/h at 128^3 -> 1 Mpc/h cells)
     params.BoxSize = float(args.grid)
 
+    ncores = os.cpu_count() or 1
     cosmo = Cosmology(params)
     grid = Grid(N=args.grid, BoxSize=params.BoxSize_htrue)
     sm = Smoothing.build(params, cosmo)
+    N = args.grid
+
+    # ---- collapse-phase throughput (the round-1 headline) ----
     kden = generate_kdensity(grid, cosmo, params.RandomSeed)
     kden.block_until_ready()
     pack = collapse.make_inverse_growth_fit(cosmo)
-
-    N = args.grid
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
-    import numpy as _np
-    ig_packs = jnp.asarray(_np.tile(pack[None, :], (sm.n, 1)))
+    ig_packs = jnp.asarray(np.tile(pack[None, :], (sm.n, 1)))
 
-    def collapse_phase(kden):
-        out = fmax_loop(kden, radii_grid, ig_packs, N, sm.n)
+    def collapse_phase(kd):
+        out = fmax_loop(kd, radii_grid, ig_packs, N, sm.n)
         # a device->host transfer is the only reliable sync on the
         # tunneled TPU backend (block_until_ready returns early there)
         np.asarray(out[3])
         return out
 
-    # warm-up: compile + the backend's one-time first-execution cost
-    collapse_phase(kden)
-
+    collapse_phase(kden)          # compile + one-time backend warmup
     best = 1e30
     for _ in range(args.repeat):
         t0 = time.perf_counter()
         collapse_phase(kden)
         best = min(best, time.perf_counter() - t0)
-
     solves = N ** 3 * sm.n
     rate = solves / best
+    del kden
 
+    if args.collapse_only:
+        print(json.dumps({
+            "metric": f"Fmax particle-radius solves/s/chip ({N}^3 x "
+                      f"{sm.n} radii, collapse phase {best:.3f}s)",
+            "value": round(rate / 1e6, 2),
+            "unit": "Msolves/s",
+            "vs_baseline": round(rate / REF_SOLVES_PER_S, 2)}))
+        return
+
+    # ---- end-to-end run with outputs + HMF residual ----
+    import tempfile
+    from pinocchio_tpu.run import run_pipeline
+    outdir = args.outdir or tempfile.mkdtemp(prefix="bench_")
+    os.makedirs(outdir, exist_ok=True)
+    params.subbox_tasks = max(ncores, 4) if N >= 256 else 1
+    t0 = time.perf_counter()
+    run_pipeline(params, outdir=outdir, verbose=False, write_outputs=True)
+    engine_s = time.perf_counter() - t0
+
+    # HMF average residual vs the chosen analytic fit (the reference's
+    # own validation metric: mean |n/n_fit - 1| over populated bins,
+    # HMF_Validation/VALIDATION_log.txt -> 2.06e-01 for its shipped run)
+    mf = np.loadtxt(os.path.join(
+        outdir, f"pinocchio.{params.output_z[-1]:6.4f}."
+                f"{params.RunFlag}.mf.out"))
+    sel = mf[:, 4] > 100          # populated bins
+    hmf_resid = float(np.abs(mf[sel, 1] / mf[sel, 5] - 1.0).mean())
+
+    ref_s = reference_wallclock(N, ncores)
     result = {
-        "metric": f"Fmax particle-radius solves/s/chip ({N}^3 x {sm.n} "
-                  f"radii, collapse phase wall-clock {best:.3f}s)",
-        "value": round(rate / 1e6, 2),
-        "unit": "Msolves/s",
-        "vs_baseline": round(rate / REF_SOLVES_PER_S, 2),
+        "metric": f"end-to-end wall-clock {N}^3 (IC+collapse+LPT+"
+                  f"fragmentation+outputs), 1 {jax.default_backend()} "
+                  f"device + {ncores} host cores",
+        "value": round(engine_s, 2),
+        "unit": "s",
+        "vs_baseline": round(ref_s / engine_s, 2),
+        "reference_s_extrapolated": round(ref_s, 1),
+        "reference_model": "shipped HMF_Validation 128^3 single-task "
+                           "14.04s scaled O(N^3 (log N for FFT share)) / "
+                           f"{ncores} cores ideal MPI scaling; the MPI "
+                           "reference is not buildable on this image "
+                           "(FFTW3/PFFT/GSL/mpicc absent)",
+        "collapse_Msolves_per_s": round(rate / 1e6, 2),
+        "collapse_vs_ref_kernel": round(rate / REF_SOLVES_PER_S, 2),
+        "hmf_avg_residual_vs_fit": round(hmf_resid, 4),
+        "hmf_reference_residual": 0.206,
+        "nsmooth": sm.n,
     }
-
-    if args.full:
-        from pinocchio_tpu.run import run_pipeline
-        params.subbox_tasks = min(os.cpu_count() or 1, 8)
-        t0 = time.perf_counter()
-        run_pipeline(params, verbose=False, write_outputs=False)
-        result["end_to_end_s"] = round(time.perf_counter() - t0, 2)
-
     print(json.dumps(result))
 
 
