@@ -29,17 +29,34 @@ from .driver import (CatalogSnapshot, FragmentResult, SubboxGeometry,
                      run_fragmentation, _f32p, _i32p, _u8p)
 
 
-def _host_copy(params, fmax_result, verbose=False, local_only=False):
-    """local_only: multi-host mode — materialize ONLY this process's
-    addressable shards (parallel/multihost.fetch_local_sparse) instead of
-    gathering the global arrays through one host's RAM."""
+def _host_copy(params, fmax_result, verbose=False, host_slice=None,
+               all_geoms=None):
+    """host_slice: multi-host mode — materialize ONLY this process's share
+    of the products instead of gathering the global arrays through one
+    host's RAM.  When the products are sharded over a multi-device mesh
+    divisible into host groups, this runs the packed sparse all_to_all
+    (parallel/exchange, the distribute.c:58-175 analog) so boundary-layer
+    particles held by OTHER hosts' chips arrive too; otherwise it falls
+    back to the per-shard local fetch (fetch_local_sparse), which is exact
+    whenever the host's sub-boxes lie within its own shards."""
     import dataclasses
 
     from ..fmax import fetch_products_host
+    local_only = host_slice is not None and host_slice[1] > 1
     if local_only and fmax_result.host_products is None \
             and not isinstance(fmax_result.products.Fmax, np.ndarray):
-        from ..parallel.multihost import fetch_local_sparse
-        sp = fetch_local_sparse(params, fmax_result)
+        sharding = getattr(fmax_result.products.Fmax, "sharding", None)
+        mesh = getattr(sharding, "mesh", None)
+        if (all_geoms is not None and mesh is not None
+                and mesh.devices.size > 1
+                and mesh.devices.size % host_slice[1] == 0):
+            from ..parallel.exchange import exchange_products
+            sp = exchange_products(params, fmax_result, mesh, all_geoms,
+                                   host_slice[1],
+                                   verbose=verbose)[host_slice[0]]
+        else:
+            from ..parallel.multihost import fetch_local_sparse
+            sp = fetch_local_sparse(params, fmax_result)
         return dataclasses.replace(fmax_result, host_products=sp)
     return fetch_products_host(params, fmax_result, verbose=verbose)
 
@@ -239,6 +256,7 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     if two_turn is None:
         two_turn = not params.classic_fragmentation
     multi_host = host_slice is not None and host_slice[1] > 1
+    all_geoms = geoms
     if multi_host:
         from ..parallel.multihost import host_subboxes
         geoms = host_subboxes(geoms, *host_slice)
@@ -250,7 +268,7 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     # these numpy arrays instead of re-fetching full device arrays
     # (the device->host link costs ~seconds/GB here)
     fmax_result = _host_copy(params, fmax_result, verbose=verbose,
-                             local_only=multi_host)
+                             host_slice=host_slice, all_geoms=all_geoms)
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "

@@ -14,13 +14,14 @@ TPU-native analog:
     per-host d2h fetch plus sub-box ownership, because sub-box sweeps
     never communicate (DOCUMENTATION:127-133).
 
-Limits of this round's sketch (documented in README): each host writes
-catalogs for its own sub-boxes as .out.<host> chunks; cross-host
-boundary-layer particles must lie within the host's addressable shards'
-union, which holds when the FFT slab decomposition aligns with the
-sub-box x-split (the default choose_nbox layout).  True cross-host
-product exchange (a jax.lax.all_to_all over DCN on packed buffers) is
-the next step and slots in behind the same SparseProducts interface.
+Boundary-layer particles held by OTHER hosts' chips arrive through the
+packed sparse all_to_all in parallel/exchange.py (the distribute.c:58-175
+hypercube analog): fragment.subbox._host_copy runs it automatically
+whenever the products are sharded over a multi-device mesh divisible into
+host groups, and falls back to the per-shard local fetch below otherwise.
+Remaining limit (documented in README): each host writes catalogs for its
+own sub-boxes as .out.<host> chunks, and RECOMPUTE_DISPLACEMENTS segments
+are still gathered rather than exchanged.
 """
 
 from __future__ import annotations

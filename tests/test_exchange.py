@@ -1,0 +1,120 @@
+"""Cross-host product redistribution (parallel/exchange): the packed
+sparse all_to_all that replaces the reference's hypercube point-to-point
+exchange (distribute.c:58-175), unit-tested with mocked host groups on
+the 8-device CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sharded64(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.parallel import pfft
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p = dataclasses.replace(hmf_validation_params, GridSize=64)
+    res = run_fmax_distributed(p, hmf_validation_cosmology,
+                               pfft.make_pencil_mesh(8), verbose=False)
+    return p, res
+
+
+def _geoms(params, cosmo, ntasks):
+    from pinocchio_tpu.fragment.subbox import (choose_nbox,
+                                               subbox_geometries)
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    largest = largest_halo_mass(params, cosmo)
+    nbox = choose_nbox(params, cosmo, largest, ntasks)
+    return subbox_geometries(params, cosmo, largest, nbox), nbox
+
+
+def _expected_host_set(params, res, geoms, nhosts, h):
+    """Brute force: every needed cell inside any of host h's padded
+    sub-box volumes, from the gathered global arrays."""
+    N = res.grid.N
+    F = np.asarray(res.products.Fmax)
+    coord = np.arange(N)
+    member = np.zeros((N, N, N), bool)
+    for g in geoms[h::nhosts]:
+        ms = []
+        for d in range(3):
+            ms.append((coord - g.stabl[d]) % N < g.L[d])
+        member |= (ms[0][:, None, None] & ms[1][None, :, None]
+                   & ms[2][None, None, :])
+    want = member & (F >= params.Flast)
+    ci = np.flatnonzero(want.ravel()).astype(np.int64)
+    return ci, F.ravel()[ci]
+
+
+@pytest.mark.parametrize("nhosts", [2, 4])
+def test_exchange_matches_bruteforce(sharded64, hmf_validation_cosmology,
+                                     nhosts):
+    from pinocchio_tpu.parallel.exchange import exchange_products
+    p, res = sharded64
+    geoms, _ = _geoms(p, hmf_validation_cosmology, 4)
+    mesh = res.products.Fmax.sharding.mesh
+    out = exchange_products(p, res, mesh, geoms, nhosts, f16=False)
+    assert sorted(out) == list(range(nhosts))
+    v1 = np.asarray(res.products.vel["v1"]).reshape(3, -1)
+    for h in range(nhosts):
+        ci, F = _expected_host_set(p, res, geoms, nhosts, h)
+        sp = out[h]
+        np.testing.assert_array_equal(sp.ci, ci)
+        np.testing.assert_allclose(sp.F, F, rtol=0, atol=0)
+        np.testing.assert_allclose(sp.vel["v1"], v1[:, ci].T,
+                                   rtol=0, atol=0)
+
+
+def test_exchange_slab_mesh(sharded64, hmf_validation_params,
+                            hmf_validation_cosmology):
+    """The slab (1-D mesh) routing path delivers the same sets."""
+    import jax
+    from pinocchio_tpu.parallel import pfft
+    from pinocchio_tpu.parallel.exchange import exchange_products
+    p, res = sharded64
+    geoms, _ = _geoms(p, hmf_validation_cosmology, 4)
+    mesh = pfft.make_mesh(8)
+    decomp = pfft.make_decomp(mesh, res.grid.N)
+    # re-lay the products on the slab mesh
+    reput = lambda a, s: jax.device_put(np.asarray(a), s)  # noqa: E731
+    prods = dataclasses.replace(
+        res.products,
+        Fmax=reput(res.products.Fmax, decomp.real_sharding()),
+        vel={k: reput(v, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, pfft.AX, None, None)))
+            for k, v in res.products.vel.items()})
+    res2 = dataclasses.replace(res, products=prods)
+    out = exchange_products(p, res2, mesh, geoms, 2, f16=False)
+    for h in range(2):
+        ci, F = _expected_host_set(p, res, geoms, 2, h)
+        np.testing.assert_array_equal(out[h].ci, ci)
+        np.testing.assert_allclose(out[h].F, F)
+
+
+def test_multibox_exchange_catalog_union(sharded64,
+                                         hmf_validation_cosmology):
+    """Host-sliced fragmentation fed by the exchange must reproduce the
+    single-process multibox catalogs exactly."""
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    p, res = sharded64
+    c = hmf_validation_cosmology
+    largest = largest_halo_mass(p, c)
+    geoms, nbox = _geoms(p, c, 4)
+    full = run_fragmentation_multibox(p, c, res, nbox,
+                                      largest_mass=largest, verbose=False)
+    names, masses = [], []
+    for h in range(2):
+        part = run_fragmentation_multibox(
+            p, c, res, nbox, largest_mass=largest,
+            host_slice=(h, 2), verbose=False)
+        names.append(part.catalogs[-1].name)
+        masses.append(part.catalogs[-1].mass)
+    union = np.concatenate(names)
+    assert len(np.unique(union)) == len(union)
+    np.testing.assert_array_equal(np.sort(union),
+                                  np.sort(full.catalogs[-1].name))
+    o_full = np.argsort(full.catalogs[-1].name)
+    o_un = np.argsort(union)
+    np.testing.assert_array_equal(np.concatenate(masses)[o_un],
+                                  full.catalogs[-1].mass[o_full])
