@@ -129,8 +129,12 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     params.subbox_tasks = max(ncores, 4) if N >= 256 else 1
     t0 = time.perf_counter()
-    run_pipeline(params, outdir=outdir, verbose=False, write_outputs=True)
+    pipe = run_pipeline(params, outdir=outdir, verbose=False,
+                        write_outputs=True)
     engine_s = time.perf_counter() - t0
+    phases = {k: round(v, 2) for k, v in sorted(
+        pipe["timings"].items(), key=lambda kv: -kv[1]) if v >= 0.5
+        and k != "total"}
 
     # HMF average residual vs the chosen analytic fit (the reference's
     # own validation metric: mean |n/n_fit - 1| over populated bins,
@@ -160,6 +164,7 @@ def main():
         "hmf_avg_residual_vs_fit": round(hmf_resid, 4),
         "hmf_reference_residual": 0.206,
         "nsmooth": sm.n,
+        "phases_s": phases,
     }
     print(json.dumps(result))
 

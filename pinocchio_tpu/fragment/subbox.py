@@ -267,8 +267,10 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     # materialize the products on the host ONCE: each sub-box sweep slices
     # these numpy arrays instead of re-fetching full device arrays
     # (the device->host link costs ~seconds/GB here)
+    t_copy = time.perf_counter()
     fmax_result = _host_copy(params, fmax_result, verbose=verbose,
                              host_slice=host_slice, all_geoms=all_geoms)
+    t_copy = time.perf_counter() - t_copy
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "
@@ -311,6 +313,7 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         npeaks=sum(r.npeaks for r in results),
         nstored=sum(r.nstored for r in results),
         timings={"total": max(r.timings["total"] for r in results),
+                 "transfer": t_copy,
                  "overhead": (sum(r.nstored for r in results)
                               / float(params.GridSize) ** 3)},
         best_pred_peak_factor=max(r.best_pred_peak_factor

@@ -48,14 +48,18 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         # pre-flight memory budget BEFORE any grid allocation: abort with
         # the per-array map when MaxMem / MaxMemPerParticle / HBM are
         # exceeded (allocations.c:196-204,317-324 analog)
+        t0 = time.perf_counter()
         from .planner import enforce_budget, estimate_file_sizes
         enforce_budget(params, n_chips=chips or 1, verbose=verbose,
                        cosmo=cosmo)
         if verbose and write_outputs:
             estimate_file_sizes(params, cosmo)
+        timings["budget"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
     from .plc import build_plc_geometry, write_plc_catalog, write_nz
     plc_geom = build_plc_geometry(params, cosmo, verbose=verbose)
+    timings["plc_geom"] = time.perf_counter() - t0
 
     # per-radius effective growth scales for scale-dependent cosmologies
     scaledep_gm = None
@@ -94,11 +98,14 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         io_dumps.dump_products(params, fmax_res, outdir)
 
     if write_outputs:
+        t0 = time.perf_counter()
         fmax_pdf(fmax_res.products.Fmax,
                  os.path.join(outdir,
                               f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
+        timings["fmax_pdf"] = time.perf_counter() - t0
 
     host_id, nhosts = hosts if hosts else (0, 1)
+    t_frag = time.perf_counter()
     if params.subbox_tasks > 1 or nhosts > 1:
         from .fragment.subbox import choose_nbox, run_fragmentation_multibox
         largest = io_cat.largest_halo_mass(params, cosmo)
@@ -115,6 +122,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                                      scaledep_gm=scaledep_gm,
                                      verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
+    timings["frag_wall"] = time.perf_counter() - t_frag
     if verbose and frag_res.best_pred_peak_factor:
         # fragment.c:477 advice line
         print(f"  the PredPeakFactor parameter could have been "
