@@ -127,7 +127,7 @@ def main():
     from pinocchio_tpu.run import run_pipeline
     outdir = args.outdir or tempfile.mkdtemp(prefix="bench_")
     os.makedirs(outdir, exist_ok=True)
-    params.subbox_tasks = max(ncores, 4) if N >= 256 else 1
+    params.subbox_tasks = ncores if N >= 256 else 1
     t0 = time.perf_counter()
     pipe = run_pipeline(params, outdir=outdir, verbose=False,
                         write_outputs=True)

@@ -95,6 +95,95 @@ class SparseProducts:
     vel: Dict[str, np.ndarray]         # key -> [n, 3] float32
 
 
+def _transfer_policy(params):
+    """(sparse, f16) transfer switches, defaulting on for accelerators."""
+    backend = jax.default_backend()
+    f16 = params.transfer_f16
+    if f16 is None:
+        f16 = backend not in ("cpu",)
+    sparse = params.sparse_transfer
+    if sparse is None:
+        sparse = backend not in ("cpu",)
+    return sparse, f16
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_idx(F, Flast, cap):
+    """Needed-particle cell indices + Fmax, compacted on device
+    (cumsum-scatter; unfilled tail slots stay -1)."""
+    Ff = F.ravel()
+    n3 = Ff.shape[0]
+    mask = Ff >= Flast
+    tgt = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
+    idx = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(n3, dtype=jnp.int32), mode="drop")
+    Fs = jnp.zeros((cap,), jnp.float32).at[tgt].set(Ff, mode="drop")
+    return idx, Fs
+
+
+@partial(jax.jit, static_argnames=("f16",))
+def _gather_rows(v, idx, f16: bool):
+    """Needed rows of one displacement stack, [3, cap] wire layout."""
+    safe = jnp.maximum(idx, 0)
+    rows = v.reshape(3, -1)[:, safe]
+    return rows.astype(jnp.float16) if f16 else rows
+
+
+class PendingFetch:
+    """Overlapped sparse product fetch (TPU backends): the index/Fmax
+    compaction is dispatched right after the collapse cycle and its
+    device->host transfer rides alongside the LPT displacement programs;
+    each displacement stack's compacted rows start crossing the link the
+    moment that stack's program retires, instead of all transfers queuing
+    after the full LPT stage (the link, not HBM, is the e2e bottleneck
+    on the tunneled backend)."""
+
+    def __init__(self, params, Fmax, N: int):
+        from concurrent.futures import ThreadPoolExecutor
+        self.N = N
+        self.t0 = time.perf_counter()
+        _, self.f16 = _transfer_policy(params)
+        N3 = N * N * N
+        Flast = jnp.float32(params.Flast)
+        count = int(np.asarray(jax.jit(
+            lambda F: (F.ravel() >= Flast).sum())(Fmax)))
+        step = max(1, N3 // 16)
+        self.cap = (min(N3, ((count + step - 1) // step) * step)
+                    if count else step)
+        self.count = count
+        idx, Fs = _compact_idx(Fmax, Flast, cap=self.cap)
+        self.idx_dev = idx                 # device-side, for row gathers
+        self.ex = ThreadPoolExecutor(max_workers=3)
+        self.idx_fut = self.ex.submit(np.asarray, idx)
+        self.f_fut = self.ex.submit(np.asarray, Fs)
+        self.vel_futs = {}
+
+    def add_vel(self, key: str, v):
+        rows = _gather_rows(v, self.idx_dev, f16=self.f16)
+        self.vel_futs[key] = self.ex.submit(np.asarray, rows)
+
+    def finish(self, verbose: bool = False) -> SparseProducts:
+        idx_h = self.idx_fut.result()
+        valid = idx_h >= 0
+        ci = idx_h[valid].astype(np.int64)
+        F_c = self.f_fut.result()[valid]
+        vel_c = {}
+        for k, fut in self.vel_futs.items():
+            rows_h = fut.result()
+            out = np.empty((len(ci), 3), np.float32)
+            for c in range(3):
+                out[:, c] = rows_h[c, valid]
+            vel_c[k] = out
+        self.ex.shutdown()
+        if verbose:
+            nb = self.cap * (8 + 6 * len(vel_c) * (2 if self.f16 else 4))
+            print(f"  products: {self.count}/{self.N ** 3} needed "
+                  f"particles ({100.0 * self.count / self.N ** 3:.1f}%), "
+                  f"{nb / 1e6:.0f} MB transferred, overlapped with LPT "
+                  f"({time.perf_counter() - self.t0:.1f}s since cycle)")
+        return SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c)
+
+
 @dataclass
 class FmaxResult:
     products: Products
@@ -106,6 +195,8 @@ class FmaxResult:
     vel_segments: list = None
     # set by fetch_products_host on TPU backends: compact host copy
     host_products: SparseProducts = None
+    # in-flight overlapped fetch (resolved by fetch_products_host)
+    pending_fetch: PendingFetch = None
     timings: Dict[str, float] = field(default_factory=dict)
 
 
@@ -305,6 +396,11 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     # ---- displacements at R=0 (fmax.c:152-169, LPT.c) ----
     # the last iteration left the unsmoothed Hessian in sd
     t0 = time.perf_counter()
+    # overlapped sparse fetch: dispatch the needed-particle compaction
+    # NOW so its device->host transfer rides alongside the LPT programs
+    # (fetch_products_host resolves it; dense path untouched on CPU)
+    sparse_now, _ = _transfer_policy(params)
+    pending = PendingFetch(params, Fmax, N) if sparse_now else None
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
     scaledep = bool(getattr(cosmo, "scale_dep", False))
@@ -331,7 +427,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
     growths = growths_at(z0)
     vel_segments = None
-    if N >= STAGED_LPT_THRESHOLD:
+    if N >= STAGED_LPT_THRESHOLD or pending is not None:
         # staged variant: one program per field with explicit buffer
         # lifetimes (the monolithic program's temporaries exceed HBM).
         # The LPT source k-vectors are z-INDEPENDENT (only the growth
@@ -362,6 +458,8 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                 if to_host:
                     out[key] = _fetch(v)
                 else:
+                    if pending is not None:
+                        pending.add_vel(key, v)
                     v.block_until_ready()
                     out[key] = v
 
@@ -398,7 +496,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
     return FmaxResult(products=products, smoothing=sm, grid=grid,
                       kdensity=kdensity, vel_segments=vel_segments,
-                      timings=timings)
+                      pending_fetch=pending, timings=timings)
 
 
 def fetch_products_host(params, fmax_result, verbose: bool = False):
@@ -426,13 +524,11 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
     if fmax_result.host_products is not None \
             or isinstance(prods.Fmax, np.ndarray):
         return fmax_result
-    backend = jax.default_backend()
-    f16 = params.transfer_f16
-    if f16 is None:
-        f16 = backend not in ("cpu",)
-    sparse = params.sparse_transfer
-    if sparse is None:
-        sparse = backend not in ("cpu",)
+    if fmax_result.pending_fetch is not None:
+        sp = fmax_result.pending_fetch.finish(verbose=verbose)
+        return dataclasses.replace(fmax_result, host_products=sp,
+                                   pending_fetch=None)
+    sparse, f16 = _transfer_policy(params)
 
     if not sparse:
         def fetch(v):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import ctypes
 import math
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Tuple
@@ -59,6 +60,27 @@ def _host_copy(params, fmax_result, verbose=False, host_slice=None,
             sp = fetch_local_sparse(params, fmax_result)
         return dataclasses.replace(fmax_result, host_products=sp)
     return fetch_products_host(params, fmax_result, verbose=verbose)
+
+
+def _host_mem_bytes() -> float:
+    """Total physical host memory (the budget ceiling for the sweep's
+    gathered arrays)."""
+    try:
+        return float(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError, AttributeError):
+        return 16.0 * 1024 ** 3
+
+
+def _single_turn_bytes(params, cosmo, geoms) -> float:
+    """Predicted host bytes to sweep every sub-box's FULL padded volume
+    (single-turn): padded cells x collapsed fraction x per-particle sweep
+    payload (F, pos, displacement rows, group id, zacc)."""
+    from ..planner import collapsed_fraction
+    frac = collapsed_fraction(params, cosmo)
+    nfields = {1: 1, 2: 2, 3: 4}[params.lpt_order]
+    per_particle = 4 + 4 + 3 * nfields * 4 + 4 + 4
+    padded = sum(float(np.prod(g.L)) for g in geoms)
+    return padded * frac * per_particle
 
 
 def find_start(L: int, n: int, ibox: int) -> int:
@@ -254,7 +276,16 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         largest_mass = largest_halo_mass(params, cosmo)
     geoms = subbox_geometries(params, cosmo, largest_mass, nbox)
     if two_turn is None:
-        two_turn = not params.classic_fragmentation
+        # memory-driven default: the two-turn scheme costs a second sweep
+        # of the well-resolved region (quick pass), so prefer the
+        # single-turn full-padded-volume load when it fits comfortably in
+        # host memory, and fall back to the V5 needed-particle scheme when
+        # it would not (the reference is always-two-turn because its MPI
+        # hosts are memory-bound, fragment.c:159-316; a 125 GB host is not
+        # at 256^3-512^3)
+        two_turn = (not params.classic_fragmentation
+                    and _single_turn_bytes(params, cosmo, geoms)
+                    > 0.5 * _host_mem_bytes())
     multi_host = host_slice is not None and host_slice[1] > 1
     all_geoms = geoms
     if multi_host:

@@ -163,6 +163,45 @@ def test_sparse_transfer_identical(hmf_validation_params,
         assert np.array_equal(c0.v, c1.v)
 
 
+def test_overlapped_pending_fetch(hmf_validation_params,
+                                  hmf_validation_cosmology, fmax_result):
+    """run_fmax with sparse_transfer=True dispatches the needed-particle
+    compaction DURING the LPT stage (fmax.PendingFetch); the resolved
+    SparseProducts must equal the post-hoc compaction of the same field
+    and drive an identical fragmentation."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host, run_fmax
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+
+    p = dataclasses.replace(hmf_validation_params, sparse_transfer=True,
+                            transfer_f16=False)
+    res = run_fmax(p, hmf_validation_cosmology, verbose=False)
+    assert res.pending_fetch is not None
+    res = fetch_products_host(p, res)
+    assert res.pending_fetch is None
+    sp = res.host_products
+    F0 = np.asarray(res.products.Fmax)
+    sel = np.flatnonzero(F0.ravel() >= p.Flast)
+    assert np.array_equal(sp.ci, sel)
+    assert np.array_equal(sp.F, F0.ravel()[sel])
+    for k, v in res.products.vel.items():
+        v0 = np.asarray(v).reshape(3, -1)
+        assert np.array_equal(sp.vel[k], v0[:, sel].T)
+
+    # catalogs identical to the dense path over the SAME product arrays
+    p_dense = dataclasses.replace(hmf_validation_params,
+                                  sparse_transfer=False,
+                                  transfer_f16=False)
+    res_dense = dataclasses.replace(res, host_products=None)
+    r0 = run_fragmentation(p_dense, hmf_validation_cosmology, res_dense,
+                           verbose=False)
+    r1 = run_fragmentation(p, hmf_validation_cosmology, res, verbose=False)
+    assert np.array_equal(r0.counters, r1.counters)
+    for c0, c1 in zip(r0.catalogs, r1.catalogs):
+        assert np.array_equal(c0.name, c1.name)
+        assert np.array_equal(c0.mass, c1.mass)
+
+
 def test_sparse_transfer_multibox(hmf_validation_params,
                                   hmf_validation_cosmology, fmax_result):
     """Sparse host products + sub-box membership (coordinate wrap) gives
