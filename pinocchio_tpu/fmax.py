@@ -90,9 +90,13 @@ class SparseProducts:
     needed-particle memory model, DOCUMENTATION:206-213): fragmentation
     host memory scales with the collapsed fraction (~1/3), not N^3."""
     N: int
-    ci: np.ndarray                     # sorted global cell index, int64
+    ci: np.ndarray                     # global cell index, int64
     F: np.ndarray                      # float32 per needed particle
     vel: Dict[str, np.ndarray]         # key -> [n, 3] float32
+    # row order: "ci" (ascending cell index) or "F" (descending collapse
+    # time, ties by ascending cell index — the sweep's processing order,
+    # pre-sorted ON DEVICE so sub-box loading skips the host argsort)
+    sorted_by: str = "ci"
 
 
 def _transfer_policy(params):
@@ -109,15 +113,18 @@ def _transfer_policy(params):
 
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_idx(F, Flast, cap):
-    """Needed-particle cell indices + Fmax, compacted on device
-    (cumsum-scatter; unfilled tail slots stay -1)."""
+    """Needed-particle cell indices + Fmax, compacted AND sorted by
+    descending Fmax on device (ties by ascending cell index — exactly the
+    order argsort(-F, stable) over ci-ascending rows produces, which is
+    the sweep's processing order, fragment.c:484-520).  Sorting on the
+    accelerator makes sub-box loading a pure order-preserving filter on
+    the host.  Unfilled tail slots stay -1."""
     Ff = F.ravel()
-    n3 = Ff.shape[0]
     mask = Ff >= Flast
-    tgt = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
-    idx = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
-        jnp.arange(n3, dtype=jnp.int32), mode="drop")
-    Fs = jnp.zeros((cap,), jnp.float32).at[tgt].set(Ff, mode="drop")
+    key = jnp.where(mask, -Ff, jnp.float32(np.inf))
+    order = jnp.argsort(key, stable=True)[:cap]
+    idx = jnp.where(mask[order], order.astype(jnp.int32), -1)
+    Fs = jnp.where(mask[order], Ff[order], 0.0)
     return idx, Fs
 
 
@@ -181,7 +188,8 @@ class PendingFetch:
                   f"particles ({100.0 * self.count / self.N ** 3:.1f}%), "
                   f"{nb / 1e6:.0f} MB transferred, overlapped with LPT "
                   f"({time.perf_counter() - self.t0:.1f}s since cycle)")
-        return SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c)
+        return SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c,
+                              sorted_by="F")
 
 
 @dataclass
@@ -541,56 +549,12 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
                          vel={k: fetch(v) for k, v in prods.vel.items()})
         return dataclasses.replace(fmax_result, products=dense)
 
-    t0 = time.perf_counter()
-    N = fmax_result.grid.N
-    N3 = N * N * N
-    Flast = float(params.Flast)
-    count = int(np.asarray(jax.jit(
-        lambda F: (F.ravel() >= Flast).sum())(prods.Fmax)))
-    # bucket the capacity (<=16 distinct program shapes per grid) so the
-    # compiled compaction is reusable across realizations
-    step = max(1, N3 // 16)
-    cap = min(N3, ((count + step - 1) // step) * step) if count else step
-    outdt = jnp.float16 if f16 else jnp.float32
-    keys = sorted(prods.vel)
-
-    @jax.jit
-    def compact(F, vels):
-        Ff = F.ravel()
-        mask = Ff >= Flast
-        tgt = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, cap)
-        idx = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
-            jnp.arange(N3, dtype=jnp.int32), mode="drop")
-        Fs = jnp.zeros((cap,), jnp.float32).at[tgt].set(Ff, mode="drop")
-        safe = jnp.maximum(idx, 0)
-        return idx, Fs, [vels[k].reshape(3, -1)[:, safe].astype(outdt)
-                         for k in keys]
-
-    idx, Fs, vrows = compact(prods.Fmax, prods.vel)
-    # d2h transfers run on parallel threads: the tunneled link is the
-    # bottleneck and multiplexes streams better than one blocking asarray
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=2 + len(vrows)) as ex:
-        idx_fut = ex.submit(np.asarray, idx)
-        fs_fut = ex.submit(np.asarray, Fs)
-        row_futs = [ex.submit(np.asarray, rows) for rows in vrows]
-        idx_h = idx_fut.result()
-        valid = idx_h >= 0
-        ci = idx_h[valid].astype(np.int64)
-        F_c = fs_fut.result()[valid]
-        vel_c = {}
-        for k, fut in zip(keys, row_futs):
-            rows_h = fut.result()
-            out = np.empty((len(ci), 3), np.float32)
-            for c in range(3):
-                out[:, c] = rows_h[c, valid]
-            vel_c[k] = out
-    if verbose:
-        nb = cap * (8 + 6 * len(keys) * (2 if f16 else 4))
-        print(f"  products: {count}/{N3} needed particles "
-              f"({100.0 * count / N3:.1f}%), {nb / 1e6:.0f} MB transferred "
-              f"in {time.perf_counter() - t0:.1f}s")
-    sp = SparseProducts(N=N, ci=ci, F=F_c, vel=vel_c)
+    # post-hoc sparse fetch: the same compaction/transfer machinery the
+    # overlapped path uses (PendingFetch), just started now
+    pending = PendingFetch(params, prods.Fmax, fmax_result.grid.N)
+    for k in sorted(prods.vel):
+        pending.add_vel(k, prods.vel[k])
+    sp = pending.finish(verbose=verbose)
     return dataclasses.replace(fmax_result, host_products=sp)
 
 

@@ -357,9 +357,16 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             rows = np.arange(len(sp.ci), dtype=np.int64)
             lin = sp.ci
         else:
-            zc = sp.ci % N
-            yc = (sp.ci // N) % N
-            xc = sp.ci // (N * N)
+            if N & (N - 1) == 0:
+                # power-of-two grid: shifts/masks instead of int64 divmod
+                s = N.bit_length() - 1
+                zc = sp.ci & (N - 1)
+                yc = (sp.ci >> s) & (N - 1)
+                xc = sp.ci >> (2 * s)
+            else:
+                zc = sp.ci % N
+                yc = (sp.ci // N) % N
+                xc = sp.ci // (N * N)
             lx = (xc - geom.stabl[0]) % geom.G[0]
             ly = (yc - geom.stabl[1]) % geom.G[1]
             lz = (zc - geom.stabl[2]) % geom.G[2]
@@ -372,11 +379,17 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             rows = rows[keep]
             lin = lin[keep]
         Fsel = sp.F[rows]
-        order = np.argsort(-Fsel, kind="stable")
-        rows = rows[order]
-        sel = lin[order]
+        if sp.sorted_by == "F":
+            # rows were filtered order-preserving from a device-side
+            # (-F, cell)-sorted transfer: already in sweep order
+            sel = lin
+        else:
+            order = np.argsort(-Fsel, kind="stable")
+            rows = rows[order]
+            sel = lin[order]
+            Fsel = Fsel[order]
         n = len(sel)
-        Fs = np.ascontiguousarray(Fsel[order], np.float32)
+        Fs = np.ascontiguousarray(Fsel, np.float32)
         pos = np.ascontiguousarray(sel, np.int32)
         gsel = sp.ci[rows]           # global cells, for segment gathers
         # dense local grid only for the peak count
@@ -387,7 +400,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         def gather_vel(key):
             if key not in sp.vel:
                 return None
-            return np.ascontiguousarray(sp.vel[key][rows])
+            return np.take(sp.vel[key], rows, axis=0)
     else:
         F_full = np.asarray(fmax_result.products.Fmax)
         if full_box:

@@ -345,6 +345,8 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         nstored=sum(r.nstored for r in results),
         timings={"total": max(r.timings["total"] for r in results),
                  "transfer": t_copy,
+                 **{k: sum(r.timings.get(k, 0.0) for r in results)
+                    for k in ("sort", "peaks", "sweep", "quick")},
                  "overhead": (sum(r.nstored for r in results)
                               / float(params.GridSize) ** 3)},
         best_pred_peak_factor=max(r.best_pred_peak_factor

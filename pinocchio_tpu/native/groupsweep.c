@@ -35,6 +35,7 @@
 
 #define FILAMENT 1
 #define SHIFT 0.5
+#define PREFETCH_DIST 12
 #define ORDER_FOR_GROUPS 2
 #define ORDER_FOR_CATALOG 3
 
@@ -966,6 +967,30 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     int fil_xyz[6][3];
 
     for (int64_t this_z = 0; this_z < in->n; this_z++) {
+        /* particles arrive in collapse-time order, i.e. spatially random:
+         * the 6-neighbour loc[] lookups are cache misses on a grid far
+         * larger than LLC.  Prefetch the next few particles' neighbour
+         * cells (their positions are known from pos[]) to overlap the
+         * miss latency with this particle's work. */
+        if (this_z + PREFETCH_DIST < in->n) {
+            const int32_t pp = in->pos[this_z + PREFETCH_DIST];
+            const int pz = pp % Lz;
+            const int32_t pk = pp / Lz;
+            const int py = pk % Ly;
+            const int px = pk / Ly;
+            const int64_t c0 =
+                (int64_t)pz + (int64_t)Lz * (py + (int64_t)Ly * px);
+            __builtin_prefetch(&in->loc[c0], 0, 1);
+            if (px > 0)
+                __builtin_prefetch(&in->loc[c0 - (int64_t)Lz * Ly], 0, 1);
+            if (px < Lx - 1)
+                __builtin_prefetch(&in->loc[c0 + (int64_t)Lz * Ly], 0, 1);
+            if (py > 0)
+                __builtin_prefetch(&in->loc[c0 - Lz], 0, 1);
+            if (py < Ly - 1)
+                __builtin_prefetch(&in->loc[c0 + Lz], 0, 1);
+            /* z neighbours share c0's cache line almost always */
+        }
         const double F = (double)in->Fmax[this_z];
         const int32_t p = in->pos[this_z];
 

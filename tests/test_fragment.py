@@ -140,16 +140,19 @@ def test_sparse_transfer_identical(hmf_validation_params,
                                    sparse_transfer=True,
                                    transfer_f16=False)
     # explicit sparse fetch: needed fraction is plausible, the compact
-    # arrays carry exactly the selected cells' values in cell order
+    # arrays carry exactly the selected cells' values in (-F, cell) order
     sp = fetch_products_host(p_sparse, fmax_result).host_products
     F0 = np.asarray(fmax_result.products.Fmax)
     sel = np.flatnonzero(F0.ravel() >= p_sparse.Flast)
     assert 0.05 < len(sel) / F0.size < 0.9
-    assert np.array_equal(sp.ci, sel)
-    assert np.array_equal(sp.F, F0.ravel()[sel])
+    assert sp.sorted_by == "F"
+    assert (np.diff(sp.F) <= 0).all()
+    o = np.argsort(sp.ci)
+    assert np.array_equal(sp.ci[o], sel)
+    assert np.array_equal(sp.F[o], F0.ravel()[sel])
     for k, v in fmax_result.products.vel.items():
         v0 = np.asarray(v).reshape(3, -1)
-        assert np.array_equal(sp.vel[k], v0[:, sel].T)
+        assert np.array_equal(sp.vel[k][o], v0[:, sel].T)
 
     r0 = run_fragmentation(p_dense, hmf_validation_cosmology, fmax_result,
                            verbose=False)
@@ -182,11 +185,14 @@ def test_overlapped_pending_fetch(hmf_validation_params,
     sp = res.host_products
     F0 = np.asarray(res.products.Fmax)
     sel = np.flatnonzero(F0.ravel() >= p.Flast)
-    assert np.array_equal(sp.ci, sel)
-    assert np.array_equal(sp.F, F0.ravel()[sel])
+    assert sp.sorted_by == "F"
+    assert (np.diff(sp.F) <= 0).all()
+    o = np.argsort(sp.ci)
+    assert np.array_equal(sp.ci[o], sel)
+    assert np.array_equal(sp.F[o], F0.ravel()[sel])
     for k, v in res.products.vel.items():
         v0 = np.asarray(v).reshape(3, -1)
-        assert np.array_equal(sp.vel[k], v0[:, sel].T)
+        assert np.array_equal(sp.vel[k][o], v0[:, sel].T)
 
     # catalogs identical to the dense path over the SAME product arrays
     p_dense = dataclasses.replace(hmf_validation_params,
