@@ -236,6 +236,11 @@ def _segment_weight_tables(params: Params, cosmo: Cosmology, scaledep_gm,
             for k_, v in out.items()}
 
 
+# initial group-array capacity per stored particle on the sparse path
+# (measured peak fraction is ~0.085 at 256^3; the sweep regrows on -2)
+PEAKS_PER_STORED = 0.12
+
+
 def count_peaks(F: np.ndarray, Flast: float, pbc=(1, 1, 1)) -> int:
     """Vectorized peak count (count_peaks, fragment.c:605-706): local
     maxima of Fmax among stored particles; borders excluded along
@@ -325,7 +330,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                       fmax_result: FmaxResult, plc_geom=None,
                       scaledep_gm=None, geom: SubboxGeometry = None,
                       cell_mask: np.ndarray = None, quick: bool = False,
-                      verbose: bool = True) -> FragmentResult:
+                      verbose: bool = True,
+                      _maxg_override: int = None) -> FragmentResult:
     """cell_mask: optional uint8/bool array over the local padded grid
     (ravelled, z fastest) restricting the stored particle set — the host
     analog of the reference's needed-particle bitmaps (frag_map,
@@ -392,10 +398,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         Fs = np.ascontiguousarray(Fsel, np.float32)
         pos = np.ascontiguousarray(sel, np.int32)
         gsel = sp.ci[rows]           # global cells, for segment gathers
-        # dense local grid only for the peak count
-        F_grid = np.zeros(ncells, np.float32)
-        F_grid[sel] = Fs
-        F_grid = F_grid.reshape(geom.L)
+        F_grid = None                # peak capacity sized from n instead
 
         def gather_vel(key):
             if key not in sp.vel:
@@ -485,19 +488,20 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
 
     # ---- peaks and capacity ----
     t0 = time.perf_counter()
-    npeaks = count_peaks(F_grid, Flast, geom.pbc)
-    maxg = npeaks + 3
-    pred_npeaks = int(ncells / 6.0 * params.PredPeakFactor)
-    if npeaks + 2 > pred_npeaks:
-        # the reference aborts here because its group arrays are
-        # pre-carved at PredNpeaks (build_groups.c:350-357); this engine
-        # sizes them exactly, so honor the contract with a warning
-        print(f"WARNING: {npeaks} peaks exceed the PredPeakFactor "
-              f"prediction ({pred_npeaks}); the reference would abort — "
-              f"set PredPeakFactor >= {npeaks * 6.0 / ncells:4.2f}")
+    if F_grid is not None:
+        npeaks = count_peaks(F_grid, Flast, geom.pbc)
+        maxg = npeaks + 3
+    else:
+        # sparse path: skip the dense pre-count (it would rebuild the
+        # full padded F grid just to roll it 6 times); size the group
+        # arrays from the stored count with margin and regrow on sweep
+        # overflow — the reference's own contract (PredNpeaks,
+        # build_groups.c:350-357), with a retry instead of an abort
+        npeaks = -1
+        maxg = _maxg_override or int(PEAKS_PER_STORED * n) + 8192
     timings["peaks"] = time.perf_counter() - t0
     if verbose:
-        print(f"  fragmentation: {n} stored particles, {npeaks} peaks, "
+        print(f"  fragmentation: {n} stored particles, "
               f"overhead {n / ncells:.3f}")
 
     # ---- tables and parameters ----
@@ -687,6 +691,17 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so),
                    pi_ref, po_ref)
     timings["sweep"] = time.perf_counter() - t0
+    if rc == -2 and F_grid is None and n > 0:
+        # sparse-path capacity estimate was too small: regrow and redo
+        # (the reference aborts at PredNpeaks instead, build_groups.c:357)
+        if verbose:
+            print(f"  group capacity {maxg} overflowed, retrying x2")
+        return run_fragmentation(params, cosmo, fmax_result,
+                                 plc_geom=plc_geom,
+                                 scaledep_gm=scaledep_gm, geom=geom,
+                                 cell_mask=cell_mask, quick=quick,
+                                 verbose=verbose,
+                                 _maxg_override=2 * maxg + 8192)
     if rc != 0:
         raise RuntimeError(f"group sweep failed with code {rc} "
                            f"(-2 = peak-capacity overflow)")
@@ -707,6 +722,15 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             v=cap_v[3 * base:3 * (base + c)].reshape(-1, 3).copy()))
 
     ng = int(g_ngroups[0])
+    if npeaks < 0:
+        # group ids only ever grow, so the final count IS the peak count
+        npeaks = max(ng - 1, 0)
+        pred_npeaks = int(ncells / 6.0 * params.PredPeakFactor)
+        if npeaks + 2 > pred_npeaks and verbose:
+            print(f"WARNING: {npeaks} peaks exceed the PredPeakFactor "
+                  f"prediction ({pred_npeaks}); the reference would "
+                  f"abort — set PredPeakFactor >= "
+                  f"{npeaks * 6.0 / ncells:4.2f}")
     groups = GroupState(
         ngroups=ng, mass=g_mass[:ng + 1], name=g_name[:ng + 1],
         halo_app=g_halo_app[:ng + 1], ll=g_ll[:ng + 1],

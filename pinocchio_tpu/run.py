@@ -152,13 +152,23 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                 return chunk
             return path
 
-        for snap in frag_res.catalogs:
-            written.append(_host_chunk(
-                io_cat.write_catalog(params, snap, outdir)))
+        # per-snapshot catalogs + mass functions are independent files:
+        # write them concurrently (the native ascii formatter releases
+        # the GIL; the reference serializes per task, write_halos.c:227)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as _io_ex:
+            cat_futs = [_io_ex.submit(io_cat.write_catalog, params, snap,
+                                      outdir)
+                        for snap in frag_res.catalogs]
+            mf_futs = [_io_ex.submit(io_cat.compute_mf, params, cosmo,
+                                     snap, outdir, largest=largest)
+                       for snap in frag_res.catalogs] if nhosts == 1 \
+                else []
+            for fut in cat_futs:
+                written.append(_host_chunk(fut.result()))
             tick("io_catalog")
-            if nhosts == 1:
-                written.append(io_cat.compute_mf(params, cosmo, snap,
-                                                 outdir, largest=largest))
+            for fut in mf_futs:
+                written.append(fut.result())
             tick("io_mf")
         if nhosts > 1 and verbose and host_id == 0:
             print("  multi-host: mass functions skipped (each host holds "
