@@ -128,13 +128,19 @@ def main():
     outdir = args.outdir or tempfile.mkdtemp(prefix="bench_")
     os.makedirs(outdir, exist_ok=True)
     params.subbox_tasks = ncores if N >= 256 else 1
-    t0 = time.perf_counter()
-    pipe = run_pipeline(params, outdir=outdir, verbose=False,
-                        write_outputs=True)
-    engine_s = time.perf_counter() - t0
-    phases = {k: round(v, 2) for k, v in sorted(
-        pipe["timings"].items(), key=lambda kv: -kv[1]) if v >= 0.5
-        and k != "total"}
+    # two passes: the first may still compile programs (the persistent
+    # cache makes later processes skip this); report the steady state
+    engine_s, phases = 1e30, {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pipe = run_pipeline(params, outdir=outdir, verbose=False,
+                            write_outputs=True)
+        t = time.perf_counter() - t0
+        if t < engine_s:
+            engine_s = t
+            phases = {k: round(v, 2) for k, v in sorted(
+                pipe["timings"].items(), key=lambda kv: -kv[1])
+                if v >= 0.5 and k != "total"}
 
     # HMF average residual vs the chosen analytic fit (the reference's
     # own validation metric: mean |n/n_fit - 1| over populated bins,

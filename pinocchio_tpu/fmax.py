@@ -169,6 +169,11 @@ class PendingFetch:
         rows = _gather_rows(v, self.idx_dev, f16=self.f16)
         self.vel_futs[key] = self.ex.submit(np.asarray, rows)
 
+    def add_rows(self, key: str, rows):
+        """rows already gathered on device (displacement_stage_fetch):
+        just start the transfer."""
+        self.vel_futs[key] = self.ex.submit(np.asarray, rows)
+
     def finish(self, verbose: bool = False) -> SparseProducts:
         idx_h = self.idx_fut.result()
         valid = idx_h >= 0
@@ -269,15 +274,8 @@ def fmax_loop_tab(kdensity, radii_grid, ct_tabs, ct_dv, ct_idx_map,
     return Fmax, Rmax, avgs, variances, sd
 
 
-@partial(jax.jit, static_argnames=("N", "order", "scaledep"))
-def displacement_stage(kdensity, sd, growths, N: int, order: int,
-                       scaledep: bool = False):
-    """All LPT sources + displacement stacks as one device program
-    (compute_displacements, fmax.c:292-367).
-
-    growths: scalars (D1, D2, D31, D32) when scale-independent, else
-    (gtabs[4, ntab], glo, gdx) per-mode growth tables over log10 |k|.
-    """
+def _displacement_core(kdensity, sd, growths, N: int, order: int,
+                       scaledep: bool):
     def first(kvec, iorder):
         if scaledep:
             gtabs, glo, gdx = growths
@@ -295,6 +293,35 @@ def displacement_stage(kdensity, sd, growths, N: int, order: int,
             out["v32"] = first(kvec32, 3)
     out["v1"] = first(kdensity, 0)
     return out
+
+
+@partial(jax.jit, static_argnames=("N", "order", "scaledep"))
+def displacement_stage(kdensity, sd, growths, N: int, order: int,
+                       scaledep: bool = False):
+    """All LPT sources + displacement stacks as one device program
+    (compute_displacements, fmax.c:292-367).
+
+    growths: scalars (D1, D2, D31, D32) when scale-independent, else
+    (gtabs[4, ntab], glo, gdx) per-mode growth tables over log10 |k|.
+    """
+    return _displacement_core(kdensity, sd, growths, N, order, scaledep)
+
+
+@partial(jax.jit, static_argnames=("N", "order", "scaledep", "f16"))
+def displacement_stage_fetch(kdensity, sd, growths, idx, N: int,
+                             order: int, scaledep: bool, f16: bool):
+    """displacement_stage + the needed-row gathers fused into ONE device
+    program: on the tunneled backend each dispatch costs ~a second of
+    round trips, so below the staged-HBM threshold the whole LPT-and-
+    compact step is a single dispatch whose six outputs then stream to
+    the host on parallel transfer threads."""
+    vel = _displacement_core(kdensity, sd, growths, N, order, scaledep)
+    safe = jnp.maximum(idx, 0)
+    rows = {}
+    for k, v in vel.items():
+        r = v.reshape(3, -1)[:, safe]
+        rows[k] = r.astype(jnp.float16) if f16 else r
+    return vel, rows
 
 
 def growth_k_tables(cosmo: Cosmology, z0: float, N: int, ntab: int = 512):
@@ -435,7 +462,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
     growths = growths_at(z0)
     vel_segments = None
-    if N >= STAGED_LPT_THRESHOLD or pending is not None:
+    if N >= STAGED_LPT_THRESHOLD:
         # staged variant: one program per field with explicit buffer
         # lifetimes (the monolithic program's temporaries exceed HBM).
         # The LPT source k-vectors are z-INDEPENDENT (only the growth
@@ -489,8 +516,15 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                     staged_vels(growths_at(zseg), to_host=True))
         del kvec2, kvec31, kvec32
     else:
-        vel: Dict[str, jax.Array] = displacement_stage(
-            kdensity, sd, growths, N, params.lpt_order, scaledep)
+        if pending is not None:
+            vel, rows = displacement_stage_fetch(
+                kdensity, sd, growths, pending.idx_dev, N,
+                params.lpt_order, scaledep, pending.f16)
+            for k, r in rows.items():
+                pending.add_rows(k, r)
+        else:
+            vel = displacement_stage(
+                kdensity, sd, growths, N, params.lpt_order, scaledep)
         if multi_seg:
             vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
             for zseg in params.output_z[1:]:
