@@ -128,6 +128,12 @@ def main():
     outdir = args.outdir or tempfile.mkdtemp(prefix="bench_")
     os.makedirs(outdir, exist_ok=True)
     params.subbox_tasks = ncores if N >= 256 else 1
+    # MaxMem in the reference param file is a PER-MPI-TASK budget tuned
+    # for its cluster (3600 MB); the equal-host comparison lets both
+    # codes use this host's physical RAM
+    params.MaxMem = int(os.sysconf("SC_PAGE_SIZE")
+                        * os.sysconf("SC_PHYS_PAGES") * 0.85 / 1024 ** 2
+                        / max(1, params.subbox_tasks))
     # two passes: the first may still compile programs (the persistent
     # cache makes later processes skip this); report the steady state
     engine_s, phases = 1e30, {}
