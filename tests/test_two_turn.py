@@ -85,3 +85,40 @@ def test_two_turn_matches_classic_multibox(turn_results):
     matched = sum(1 for nm_, ms in zip(m.name.tolist(), m.mass.tolist())
                   if cm.get(nm_) == ms)
     assert matched / max(len(c.name), 1) > 0.985
+
+
+def test_turn_policy_is_memory_driven(example_like_run, monkeypatch):
+    """two_turn=None resolves by predicted single-turn host bytes vs
+    physical memory: a tiny mocked host picks the V5 two-turn scheme,
+    a huge one sweeps single-turn (and classic_fragmentation forces
+    single-turn regardless)."""
+    import dataclasses
+    from pinocchio_tpu.fragment import subbox
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    p, cosmo, fres = example_like_run
+    largest = largest_halo_mass(p, cosmo)
+
+    monkeypatch.setattr(subbox, "_host_mem_bytes", lambda: 64 * 1024 ** 2)
+    small = subbox.run_fragmentation_multibox(
+        p, cosmo, fres, (2, 1, 1), largest_mass=largest, verbose=False)
+    assert small.timings["quick"] > 0.0          # two-turn ran
+
+    monkeypatch.setattr(subbox, "_host_mem_bytes",
+                        lambda: 1024 * 1024 ** 3)
+    big = subbox.run_fragmentation_multibox(
+        p, cosmo, fres, (2, 1, 1), largest_mass=largest, verbose=False)
+    assert big.timings["quick"] == 0.0           # single-turn
+
+    p_classic = dataclasses.replace(p, classic_fragmentation=True)
+    monkeypatch.setattr(subbox, "_host_mem_bytes", lambda: 64 * 1024 ** 2)
+    classic = subbox.run_fragmentation_multibox(
+        p_classic, cosmo, fres, (2, 1, 1), largest_mass=largest,
+        verbose=False)
+    assert classic.timings["quick"] == 0.0
+
+    # single-turn and classic agree exactly; two-turn within the
+    # documented boundary-sphere truncation tolerance
+    np.testing.assert_array_equal(np.sort(big.catalogs[-1].name),
+                                  np.sort(classic.catalogs[-1].name))
+    common = np.intersect1d(small.catalogs[-1].name, big.catalogs[-1].name)
+    assert len(common) > 0.99 * len(big.catalogs[-1].name)
