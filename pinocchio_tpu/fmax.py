@@ -174,18 +174,37 @@ class PendingFetch:
         just start the transfer."""
         self.vel_futs[key] = self.ex.submit(np.asarray, rows)
 
+    def add_seg(self, iseg: int, key: str, v_or_rows, gathered=False):
+        """RECOMPUTE_DISPLACEMENTS segment stack: transfer only the
+        needed rows (the dense per-segment transfer was the remaining
+        N^3-sized d2h in recompute runs)."""
+        if not hasattr(self, "seg_futs"):
+            self.seg_futs = {}
+        rows = v_or_rows if gathered else _gather_rows(
+            v_or_rows, self.idx_dev, f16=self.f16)
+        self.seg_futs[(iseg, key)] = self.ex.submit(np.asarray, rows)
+
     def finish(self, verbose: bool = False) -> SparseProducts:
         idx_h = self.idx_fut.result()
         valid = idx_h >= 0
         ci = idx_h[valid].astype(np.int64)
         F_c = self.f_fut.result()[valid]
-        vel_c = {}
-        for k, fut in self.vel_futs.items():
-            rows_h = fut.result()
+        def trim(rows_h):
             out = np.empty((len(ci), 3), np.float32)
             for c in range(3):
                 out[:, c] = rows_h[c, valid]
-            vel_c[k] = out
+            return out
+
+        vel_c = {k: trim(fut.result())
+                 for k, fut in self.vel_futs.items()}
+        # sparse RECOMPUTE segments, aligned row-for-row with vel_c
+        self.segments = None
+        if getattr(self, "seg_futs", None):
+            nseg = 1 + max(s for s, _ in self.seg_futs)
+            self.segments = [dict(vel_c)] + [
+                {k: trim(self.seg_futs[(s, k)].result())
+                 for s2, k in self.seg_futs if s2 == s}
+                for s in range(1, nseg)]
         self.ex.shutdown()
         if verbose:
             nb = self.cap * (8 + 6 * len(vel_c) * (2 if self.f16 else 4))
@@ -210,6 +229,9 @@ class FmaxResult:
     host_products: SparseProducts = None
     # in-flight overlapped fetch (resolved by fetch_products_host)
     pending_fetch: PendingFetch = None
+    # vel_segments entries are [n, 3] rows aligned with host_products
+    # instead of dense [3, N, N, N] grids
+    seg_sparse: bool = False
     timings: Dict[str, float] = field(default_factory=dict)
 
 
@@ -390,7 +412,8 @@ def inverse_growth_packs(cosmo: Cosmology, sm: Smoothing,
 
 
 def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
-             scaledep_gm=None, verbose: bool = True) -> FmaxResult:
+             scaledep_gm=None, verbose: bool = True,
+             keep_dense_products: bool = False) -> FmaxResult:
     grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
     N = grid.N
     sm = Smoothing.build(params, cosmo)
@@ -436,6 +459,13 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     # (fetch_products_host resolves it; dense path untouched on CPU)
     sparse_now, _ = _transfer_policy(params)
     pending = PendingFetch(params, Fmax, N) if sparse_now else None
+    # a sparse run ships only compacted rows to fragmentation; the dense
+    # [3,N,N,N] device stacks are needed afterwards ONLY by the snapshot
+    # and dump writers — freeing them as each stack's rows are gathered
+    # keeps the 512^3+ staged peak inside HBM (4 stacks = 6.5 GB there)
+    keep_dense_vel = (pending is None or params.DumpProducts
+                      or params.WriteTimelessSnapshot
+                      or keep_dense_products)
     z0 = params.zlast if not params.recompute_displacements \
         else params.output_z[0]
     scaledep = bool(getattr(cosmo, "scale_dep", False))
@@ -482,19 +512,26 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
             kvec2.block_until_ready()
         sd = None                      # free the 6 Hessian buffers
 
-        def staged_vels(g, to_host):
+        def staged_vels(g, to_host, seg=None):
             """One displacement set; to_host fetches each stack to the
             host as soon as it is computed, so at most one [3,N,N,N]
-            device temporary exists at a time."""
+            device temporary exists at a time.  seg: sparse segment
+            transfer through the pending fetch (needed rows only)."""
             out = {}
 
             def add(key, kvec, iorder):
                 v = first(kvec, iorder, g)
                 if to_host:
-                    out[key] = _fetch(v)
+                    if pending is not None and seg is not None:
+                        pending.add_seg(seg, key, v)
+                    else:
+                        out[key] = _fetch(v)
                 else:
                     if pending is not None:
                         pending.add_vel(key, v)
+                        if not keep_dense_vel:
+                            out[key] = None   # freed once rows gathered
+                            return
                     v.block_until_ready()
                     out[key] = v
 
@@ -509,11 +546,16 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
         vel = staged_vels(growths, to_host=False)
         if multi_seg:
             # per-segment displacement sets (compute_displacements per
-            # segment, fragment.c:398-429), fetched straight to host
-            vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
-            for zseg in params.output_z[1:]:
-                vel_segments.append(
-                    staged_vels(growths_at(zseg), to_host=True))
+            # segment, fragment.c:398-429)
+            if pending is not None:
+                # sparse: needed rows only, resolved with the products
+                for s, zseg in enumerate(params.output_z[1:], start=1):
+                    staged_vels(growths_at(zseg), to_host=True, seg=s)
+            else:
+                vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+                for zseg in params.output_z[1:]:
+                    vel_segments.append(
+                        staged_vels(growths_at(zseg), to_host=True))
         del kvec2, kvec31, kvec32
     else:
         if pending is not None:
@@ -522,17 +564,30 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
                 params.lpt_order, scaledep, pending.f16)
             for k, r in rows.items():
                 pending.add_rows(k, r)
+            if multi_seg:
+                # sparse segments: only the needed rows of each extra
+                # segment cross the link (resolved with the products by
+                # fetch_products_host)
+                for s, zseg in enumerate(params.output_z[1:], start=1):
+                    _, segrows = displacement_stage_fetch(
+                        kdensity, sd, growths_at(zseg), pending.idx_dev,
+                        N, params.lpt_order, scaledep, pending.f16)
+                    for k, r in segrows.items():
+                        pending.add_seg(s, k, r, gathered=True)
         else:
             vel = displacement_stage(
                 kdensity, sd, growths, N, params.lpt_order, scaledep)
-        if multi_seg:
-            vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
-            for zseg in params.output_z[1:]:
-                vs = displacement_stage(kdensity, sd, growths_at(zseg),
-                                        N, params.lpt_order, scaledep)
-                vel_segments.append({k: _fetch(v) for k, v in vs.items()})
+            if multi_seg:
+                vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+                for zseg in params.output_z[1:]:
+                    vs = displacement_stage(kdensity, sd,
+                                            growths_at(zseg),
+                                            N, params.lpt_order, scaledep)
+                    vel_segments.append(
+                        {k: _fetch(v) for k, v in vs.items()})
     for v in vel.values():
-        v.block_until_ready()
+        if v is not None:
+            v.block_until_ready()
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
@@ -567,7 +622,13 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
             or isinstance(prods.Fmax, np.ndarray):
         return fmax_result
     if fmax_result.pending_fetch is not None:
-        sp = fmax_result.pending_fetch.finish(verbose=verbose)
+        pf = fmax_result.pending_fetch
+        sp = pf.finish(verbose=verbose)
+        if pf.segments is not None:
+            return dataclasses.replace(fmax_result, host_products=sp,
+                                       pending_fetch=None,
+                                       vel_segments=pf.segments,
+                                       seg_sparse=True)
         return dataclasses.replace(fmax_result, host_products=sp,
                                    pending_fetch=None)
     sparse, f16 = _transfer_policy(params)

@@ -447,12 +447,20 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     # RECOMPUTE_DISPLACEMENTS: gather every segment's displacement set
     seg_vel = None
     if fmax_result.vel_segments is not None and not quick:
-        def gather_seg(vs, key):
-            if key not in vs:
-                return None
-            return np.ascontiguousarray(
-                np.asarray(vs[key]).reshape(3, -1)[:, gsel].T,
-                np.float32)
+        if fmax_result.seg_sparse:
+            # segment arrays are needed-particle rows aligned with the
+            # sparse products: same row filter as the main stacks
+            def gather_seg(vs, key):
+                if key not in vs or vs[key] is None:
+                    return None
+                return np.take(vs[key], rows, axis=0)
+        else:
+            def gather_seg(vs, key):
+                if key not in vs:
+                    return None
+                return np.ascontiguousarray(
+                    np.asarray(vs[key]).reshape(3, -1)[:, gsel].T,
+                    np.float32)
         seg_vel = [{k: gather_seg(vs, k)
                     for k in ("v1", "v2", "v31", "v32")}
                    for vs in fmax_result.vel_segments]

@@ -98,15 +98,32 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
     # RECOMPUTE segments are fetched straight to host (fmax.py staged_vels)
     # so they never stack on device.
     staged = N >= STAGED_LPT_THRESHOLD
+    # sparse transfer: compacted-row fetch buffers live on device during
+    # the LPT phase (fmax.PendingFetch): idx+Fs [cap], up to nfields row
+    # sets [cap,3] float16 in flight, plus the (-F, cell) sort transient
+    sparse = params.sparse_transfer
+    if sparse is None:
+        sparse = True                    # accelerator default
+    frac0 = collapsed_fraction(params, cosmo, sm)
+    cap = min(1.0, frac0 + 1.0 / 16.0) * cells
+    fetch = (cap * (4 + 4) + nfields * cap * 3 * 2) if sparse else 0.0
     displ = 3 * nfields * field
-    if staged:
+    if staged and sparse:
+        # dense stacks are freed as each stack's rows are gathered
+        lpt_phase = dict(kdensity=khalf, kvectors=3 * khalf,
+                         fmax_rmax=2 * field, displacements=3 * field,
+                         fetch_buffers=fetch, sort_scratch=2 * field,
+                         fft_scratch=3 * khalf)
+    elif staged:
         lpt_phase = dict(kdensity=khalf, kvectors=3 * khalf,
                          fmax_rmax=2 * field, displacements=displ,
                          fft_scratch=3 * khalf)
     else:
         lpt_phase = dict(kdensity=khalf, hessian=6 * field,
                          kvectors=3 * khalf, fmax_rmax=2 * field,
-                         displacements=displ, fft_scratch=3 * khalf)
+                         displacements=displ, fetch_buffers=fetch,
+                         sort_scratch=(2 * field if sparse else 0.0),
+                         fft_scratch=3 * khalf)
     loop_total = sum(loop_phase.values())
     lpt_total = sum(lpt_phase.values())
     device_total = max(loop_total, lpt_total)
@@ -114,7 +131,7 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
                          else "LPT displacements")
 
     # ---- fragmentation (host) ----
-    frac = collapsed_fraction(params, cosmo, sm)
+    frac = frac0
     nstored = frac * ntot
     # sparse products (fmax.SparseProducts): ci 8 + F 4 + vel rows
     sparse_pp = 8 + 4 + 3 * nfields * F4

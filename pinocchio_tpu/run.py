@@ -307,7 +307,8 @@ def run_special_mode(params: Params, mode: int, outdir: str = ".",
         dens = np.asarray(density_field(kden, params.GridSize))
         return write_density_snapshot(params, dens, outdir)
     if mode == 3:
-        fmax_res = run_fmax(params, cosmo, verbose=verbose)
+        fmax_res = run_fmax(params, cosmo, verbose=verbose,
+                            keep_dense_products=True)
         return write_lpt_snapshot(params, cosmo, fmax_res, outdir)
     raise ValueError(f"unknown special mode {mode}")
 

@@ -233,3 +233,36 @@ def test_sparse_transfer_multibox(hmf_validation_params,
         assert np.array_equal(c0.name[o0], c1.name[o1])
         assert np.array_equal(c0.mass[o0], c1.mass[o1])
         assert np.array_equal(c0.x[o0], c1.x[o1])
+
+
+def test_sparse_recompute_segments(hmf_validation_params,
+                                   hmf_validation_cosmology):
+    """RECOMPUTE_DISPLACEMENTS through the sparse overlapped fetch: the
+    per-segment stacks cross as needed rows (seg_sparse) and the sweep's
+    segment reconstruction matches the dense-segment run exactly."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host, run_fmax
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+
+    base = dataclasses.replace(hmf_validation_params, GridSize=64,
+                               recompute_displacements=True,
+                               transfer_f16=False)
+    assert len(base.output_z) > 1
+    p_dense = dataclasses.replace(base, sparse_transfer=False)
+    p_sparse = dataclasses.replace(base, sparse_transfer=True)
+    c = hmf_validation_cosmology
+
+    r_dense = run_fmax(p_dense, c, verbose=False)
+    r_sparse = run_fmax(p_sparse, c, verbose=False)
+    r_sparse = fetch_products_host(p_sparse, r_sparse)
+    assert r_sparse.seg_sparse
+    assert len(r_sparse.vel_segments) == len(base.output_z)
+
+    f_dense = run_fragmentation(p_dense, c, r_dense, verbose=False)
+    f_sparse = run_fragmentation(p_sparse, c, r_sparse, verbose=False)
+    assert np.array_equal(f_dense.counters, f_sparse.counters)
+    for c0, c1 in zip(f_dense.catalogs, f_sparse.catalogs):
+        assert np.array_equal(c0.name, c1.name)
+        assert np.array_equal(c0.mass, c1.mass)
+        np.testing.assert_allclose(c0.x, c1.x, rtol=0, atol=2e-4)
+        np.testing.assert_allclose(c0.v, c1.v, rtol=0, atol=2e-3)
