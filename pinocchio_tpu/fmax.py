@@ -458,12 +458,17 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     # NOW so its device->host transfer rides alongside the LPT programs
     # (fetch_products_host resolves it; dense path untouched on CPU)
     sparse_now, _ = _transfer_policy(params)
-    pending = PendingFetch(params, Fmax, N) if sparse_now else None
+    # on the staged (N >= 512) path the compaction sort must wait for the
+    # 6-Hessian release: the 134M+-element device sort needs several GB
+    # of workspace that does not coexist with sd inside a 16 GB HBM
+    pending = (PendingFetch(params, Fmax, N)
+               if sparse_now and N < STAGED_LPT_THRESHOLD else None)
+    pending_deferred = sparse_now and N >= STAGED_LPT_THRESHOLD
     # a sparse run ships only compacted rows to fragmentation; the dense
     # [3,N,N,N] device stacks are needed afterwards ONLY by the snapshot
     # and dump writers — freeing them as each stack's rows are gathered
     # keeps the 512^3+ staged peak inside HBM (4 stacks = 6.5 GB there)
-    keep_dense_vel = (pending is None or params.DumpProducts
+    keep_dense_vel = (not sparse_now or params.DumpProducts
                       or params.WriteTimelessSnapshot
                       or keep_dense_products)
     z0 = params.zlast if not params.recompute_displacements \
@@ -511,6 +516,8 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
             kvec2, kvec31, kvec32 = lpt.lpt_sources(sd, N)
             kvec2.block_until_ready()
         sd = None                      # free the 6 Hessian buffers
+        if pending_deferred:
+            pending = PendingFetch(params, Fmax, N)
 
         def staged_vels(g, to_host, seg=None):
             """One displacement set; to_host fetches each stack to the

@@ -118,3 +118,36 @@ def test_staged_recompute_displacements(hmf_validation_params,
         np.testing.assert_allclose(
             np.asarray(b.products.vel[k]), b.vel_segments[0][k],
             rtol=1e-6, atol=0)
+
+
+def test_staged_sparse_fetch(hmf_validation_params,
+                             hmf_validation_cosmology, _staged_threshold):
+    """The >=512^3 staged path with sparse transfer: the compaction sort
+    is deferred until the Hessian release, the dense stacks are freed as
+    their rows are gathered, and the resolved sparse products drive a
+    fragmentation identical to the dense run."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host, run_fmax
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    N = 32
+    base = dataclasses.replace(hmf_validation_params, GridSize=N,
+                               transfer_f16=False)
+    c = hmf_validation_cosmology
+    _staged_threshold.STAGED_LPT_THRESHOLD = N     # force staged
+
+    p_sparse = dataclasses.replace(base, sparse_transfer=True)
+    r_sparse = run_fmax(p_sparse, c, verbose=False)
+    assert r_sparse.pending_fetch is not None
+    # dense stacks were freed on the way
+    assert all(v is None for v in r_sparse.products.vel.values())
+    r_sparse = fetch_products_host(p_sparse, r_sparse)
+
+    p_dense = dataclasses.replace(base, sparse_transfer=False)
+    r_dense = run_fmax(p_dense, c, verbose=False)
+
+    f0 = run_fragmentation(p_dense, c, r_dense, verbose=False)
+    f1 = run_fragmentation(p_sparse, c, r_sparse, verbose=False)
+    assert np.array_equal(f0.counters, f1.counters)
+    for c0, c1 in zip(f0.catalogs, f1.catalogs):
+        assert np.array_equal(c0.name, c1.name)
+        assert np.array_equal(c0.mass, c1.mass)
