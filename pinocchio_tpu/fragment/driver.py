@@ -30,6 +30,7 @@ DELTAM = 0.05
 NCOUNTERS = 16
 
 _i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
 _f32p = ctypes.POINTER(ctypes.c_float)
 _f64p = ctypes.POINTER(ctypes.c_double)
 _u64p = ctypes.POINTER(ctypes.c_uint64)
@@ -41,7 +42,7 @@ class _SweepInput(ctypes.Structure):
         ("n", ctypes.c_int64),
         ("Fmax", _f32p), ("pos", _i32p),
         ("v1", _f32p), ("v2", _f32p), ("v31", _f32p), ("v32", _f32p),
-        ("loc", _i32p),
+        ("loc", _i32p), ("rowmap", _i32p),
         ("L", ctypes.c_int32 * 3), ("pbc", ctypes.c_int32 * 3),
         ("safe", ctypes.c_int32 * 3), ("stabl", ctypes.c_int32 * 3),
         ("G", ctypes.c_int32 * 3),
@@ -241,6 +242,26 @@ def _segment_weight_tables(params: Params, cosmo: Cosmology, scaledep_gm,
 PEAKS_PER_STORED = 0.12
 
 
+def _subsel_lib():
+    """groupsweep.so with the sub-box loading helper signatures set."""
+    lib = native.load("groupsweep")
+    if not getattr(lib, "_subsel_sig", False):
+        lib.subbox_select.restype = ctypes.c_int64
+        lib.subbox_select.argtypes = [
+            _i64p, ctypes.c_int64, ctypes.c_int32, _i32p, _i32p, _i32p,
+            _i32p, _i32p]
+        lib.gather_rows3.restype = None
+        lib.gather_rows3.argtypes = [_f32p, _i32p, ctypes.c_int64, _f32p]
+        lib.gather_f32.restype = None
+        lib.gather_f32.argtypes = [_f32p, _i32p, ctypes.c_int64, _f32p]
+        lib.gather_i64.restype = None
+        lib.gather_i64.argtypes = [_i64p, _i32p, ctypes.c_int64, _i64p]
+        lib.fill_loc.restype = None
+        lib.fill_loc.argtypes = [_i32p, ctypes.c_int64, _i32p]
+        lib._subsel_sig = True
+    return lib
+
+
 def count_peaks(F: np.ndarray, Flast: float, pbc=(1, 1, 1)) -> int:
     """Vectorized peak count (count_peaks, fragment.c:605-706): local
     maxima of Fmax among stored particles; borders excluded along
@@ -359,51 +380,62 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     if sp is not None:
         # sparse host products (needed particles only): membership test by
         # cell coordinates instead of a dense sub-domain extraction
+        lib = _subsel_lib()
         if full_box:
-            rows = np.arange(len(sp.ci), dtype=np.int64)
+            rows = np.arange(len(sp.ci), dtype=np.int32)
             lin = sp.ci
         else:
-            if N & (N - 1) == 0:
-                # power-of-two grid: shifts/masks instead of int64 divmod
-                s = N.bit_length() - 1
-                zc = sp.ci & (N - 1)
-                yc = (sp.ci >> s) & (N - 1)
-                xc = sp.ci >> (2 * s)
-            else:
-                zc = sp.ci % N
-                yc = (sp.ci // N) % N
-                xc = sp.ci // (N * N)
-            lx = (xc - geom.stabl[0]) % geom.G[0]
-            ly = (yc - geom.stabl[1]) % geom.G[1]
-            lz = (zc - geom.stabl[2]) % geom.G[2]
-            inside = ((lx < geom.L[0]) & (ly < geom.L[1])
-                      & (lz < geom.L[2]))
-            rows = np.flatnonzero(inside)
-            lin = ((lx[rows] * geom.L[1]) + ly[rows]) * geom.L[2] + lz[rows]
+            # one streaming C pass for the wrapped-membership test +
+            # local linear index (the numpy int64 vector chain was
+            # allocation-bound: ~10 temporaries of 0.8 GB each at 512^3)
+            nsp = len(sp.ci)
+            rows = np.empty(nsp, np.int32)
+            lin32 = np.empty(nsp, np.int32)
+            arr3 = lambda v: np.ascontiguousarray(v, np.int32)  # noqa
+            m = lib.subbox_select(
+                sp.ci.ctypes.data_as(_i64p), ctypes.c_int64(nsp),
+                np.int32(N),
+                arr3(geom.L).ctypes.data_as(_i32p),
+                arr3(geom.stabl).ctypes.data_as(_i32p),
+                arr3(geom.G).ctypes.data_as(_i32p),
+                rows.ctypes.data_as(_i32p), lin32.ctypes.data_as(_i32p))
+            rows = rows[:m]
+            lin = lin32[:m]
         if cell_mask is not None:
             keep = cell_mask[lin] != 0
             rows = rows[keep]
             lin = lin[keep]
-        Fsel = sp.F[rows]
         if sp.sorted_by == "F":
             # rows were filtered order-preserving from a device-side
             # (-F, cell)-sorted transfer: already in sweep order
             sel = lin
         else:
+            Fsel = sp.F[rows]
             order = np.argsort(-Fsel, kind="stable")
             rows = rows[order]
             sel = lin[order]
-            Fsel = Fsel[order]
         n = len(sel)
-        Fs = np.ascontiguousarray(Fsel, np.float32)
+        rows = np.ascontiguousarray(rows, np.int32)
+        Fs = np.empty(n, np.float32)
+        lib.gather_f32(np.ascontiguousarray(sp.F, np.float32)
+                       .ctypes.data_as(_f32p),
+                       rows.ctypes.data_as(_i32p), ctypes.c_int64(n),
+                       Fs.ctypes.data_as(_f32p))
         pos = np.ascontiguousarray(sel, np.int32)
-        gsel = sp.ci[rows]           # global cells, for segment gathers
+        gsel = np.empty(n, np.int64)
+        lib.gather_i64(sp.ci.ctypes.data_as(_i64p),
+                       rows.ctypes.data_as(_i32p), ctypes.c_int64(n),
+                       gsel.ctypes.data_as(_i64p))
         F_grid = None                # peak capacity sized from n instead
+        # no per-box displacement copies: the sweep reads the shared
+        # sparse tables through rowmap (one ~GB gather per table per
+        # sub-box saved; the tables are read-only across box threads)
+        rowmap = rows
 
         def gather_vel(key):
             if key not in sp.vel:
                 return None
-            return np.take(sp.vel[key], rows, axis=0)
+            return np.ascontiguousarray(sp.vel[key], np.float32)
     else:
         F_full = np.asarray(fmax_result.products.Fmax)
         if full_box:
@@ -430,6 +462,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         pos = np.ascontiguousarray(sel, np.int32)
         gsel = sel if cell_sel is None else cell_sel[sel]
 
+        rowmap = None
+
         def gather_vel(key):
             if key not in fmax_result.products.vel:
                 return None
@@ -449,11 +483,11 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     if fmax_result.vel_segments is not None and not quick:
         if fmax_result.seg_sparse:
             # segment arrays are needed-particle rows aligned with the
-            # sparse products: same row filter as the main stacks
+            # sparse products: the sweep reads them through rowmap too
             def gather_seg(vs, key):
                 if key not in vs or vs[key] is None:
                     return None
-                return np.take(vs[key], rows, axis=0)
+                return np.ascontiguousarray(vs[key], np.float32)
         else:
             def gather_seg(vs, key):
                 if key not in vs:
@@ -560,7 +594,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         Fmax=p(Fs, _f32p), pos=p(pos, _i32p),
         v1=p(v1, _f32p), v2=p(v2, _f32p),
         v31=p(v31, _f32p), v32=p(v32, _f32p),
-        loc=p(loc, _i32p),
+        loc=p(loc, _i32p), rowmap=p(rowmap, _i32p),
         L=(ctypes.c_int32 * 3)(*geom.L),
         pbc=(ctypes.c_int32 * 3)(*geom.pbc),
         safe=(ctypes.c_int32 * 3)(*geom.safe),

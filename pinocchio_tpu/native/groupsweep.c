@@ -53,6 +53,11 @@ typedef struct {
     const float *v31;       /* [n*3] or NULL */
     const float *v32;       /* [n*3] or NULL */
     const int32_t *loc;     /* [Lx*Ly*Lz] cell -> particle index or -1 */
+    /* when non-NULL, particle ip's row in the v and seg_v tables is
+     * rowmap[ip]: the sweep reads the host's full sparse-product tables
+     * directly instead of per-sub-box gathered copies (saves one
+     * ~GB-scale gather per displacement table per sub-box) */
+    const int32_t *rowmap;
 
     /* geometry */
     int32_t L[3];           /* local grid-with-boundary dims */
@@ -196,6 +201,11 @@ static inline double tab_interp(const double *tab, double F)
     if (i >= I->tab_n - 1) return tab[I->tab_n - 1];
     double w = t - i;
     return tab[i] * (1.0 - w) + tab[i + 1] * w;
+}
+
+static inline int64_t prow(int64_t ip)
+{
+    return I->rowmap ? (int64_t)I->rowmap[ip] : ip;
 }
 
 static inline int32_t uf_find(int32_t g)
@@ -371,9 +381,10 @@ static inline double q2x_group(int i, int32_t g, const weights_t *w,
     return p;
 }
 
-static inline double q2x_point(int i, const double *q, int64_t ip,
+static inline double q2x_point(int i, const double *q, int64_t ip0,
                                const weights_t *w, int order, int wrap)
 {
+    const int64_t ip = prow(ip0);
     const float *v1 = seg_arr(I->seg_v1, I->v1) + 3 * ip;
     const float *v2 = I->v2 || I->nseg
         ? seg_arr(I->seg_v2, I->v2) + 3 * ip : NULL;
@@ -536,9 +547,10 @@ static void state_update(int32_t M1, double q1[3], float *vs1[4],
 static _Thread_local int32_t *group_of_particle_arr;   /* [n] */
 static _Thread_local float *join_F_arr;  /* [n] F at which it joined */
 
-static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
+static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip0,
                          double F)
 {
+    const int64_t ip = prow(ip0);   /* row in the v/seg tables */
     int has2 = I->v2 || I->nseg, has3 = (I->v31 != NULL)
         || (I->nseg && I->lpt_order >= 3);
     double q1[3] = { G.q[3 * g], G.q[3 * g + 1], G.q[3 * g + 2] };
@@ -575,8 +587,8 @@ static void do_accretion(int32_t g, int ix, int iy, int iz, int64_t ip,
     if (G.mass[g] >= I->min_halo_mass && G.t_appear[g] == -1.0f)
         G.t_appear[g] = (float)F;
 
-    group_of_particle_arr[ip] = g;
-    join_F_arr[ip] = (float)F;
+    group_of_particle_arr[ip0] = g;
+    join_F_arr[ip0] = (float)F;
 }
 
 /* merger-tree linked-list bookkeeping (update_history,
@@ -1109,19 +1121,20 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
                 const float *p2 = seg_arr_prev(in->seg_v2);
                 const float *p31 = seg_arr_prev(in->seg_v31);
                 const float *p32 = seg_arr_prev(in->seg_v32);
+                const int64_t rz = prow(this_z);
                 for (int i = 0; i < 3; i++) {
-                    G.gv1[3 * g + i] = a1[3 * this_z + i];
-                    if (a2) G.gv2[3 * g + i] = a2[3 * this_z + i];
-                    if (a31) G.gv31[3 * g + i] = a31[3 * this_z + i];
-                    if (a32) G.gv32[3 * g + i] = a32[3 * this_z + i];
+                    G.gv1[3 * g + i] = a1[3 * rz + i];
+                    if (a2) G.gv2[3 * g + i] = a2[3 * rz + i];
+                    if (a31) G.gv31[3 * g + i] = a31[3 * rz + i];
+                    if (a32) G.gv32[3 * g + i] = a32[3 * rz + i];
                     if (G.pv1)
-                        G.pv1[3 * g + i] = p1 ? p1[3 * this_z + i] : 0.f;
+                        G.pv1[3 * g + i] = p1 ? p1[3 * rz + i] : 0.f;
                     if (G.pv2)
-                        G.pv2[3 * g + i] = p2 ? p2[3 * this_z + i] : 0.f;
+                        G.pv2[3 * g + i] = p2 ? p2[3 * rz + i] : 0.f;
                     if (G.pv31)
-                        G.pv31[3 * g + i] = p31 ? p31[3 * this_z + i] : 0.f;
+                        G.pv31[3 * g + i] = p31 ? p31[3 * rz + i] : 0.f;
                     if (G.pv32)
-                        G.pv32[3 * g + i] = p32 ? p32[3 * this_z + i] : 0.f;
+                        G.pv32[3 * g + i] = p32 ? p32[3 * rz + i] : 0.f;
                 }
             }
             G.mass[g] = 1;
@@ -1503,4 +1516,79 @@ int map_update(int32_t ngroups, const int32_t *mass, const float *gq,
         }
     }
     return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Sub-box loading helpers: the numpy implementations of the member-  */
+/* ship test and row gathers were allocation-bound at 512^3 (each     */
+/* int64 vector op materializes a ~0.8 GB temporary; 135 s for what   */
+/* is one streaming pass).  One C pass runs at memory speed.          */
+/* (distribute.c's belongs_to / local-index math, distribute.c:280-   */
+/* 367, fused with the V5 needed-particle selection.)                 */
+
+/* select the sparse-product rows inside the wrapped sub-box volume;
+ * rows[] gets the row index, lin[] the local linear cell (z fastest).
+ * Returns the count. */
+int64_t subbox_select(const int64_t *ci, int64_t n, int32_t N,
+                      const int32_t *L, const int32_t *stabl,
+                      const int32_t *G,
+                      int32_t *rows, int32_t *lin)
+{
+    const int64_t NN = (int64_t)N * N;
+    const int32_t L0 = L[0], L1 = L[1], L2 = L[2];
+    const int32_t G0 = G[0], G1 = G[1], G2 = G[2];
+    /* normalized non-negative offsets so one conditional subtract
+     * replaces the modulo */
+    const int32_t o0 = ((stabl[0] % G0) + G0) % G0;
+    const int32_t o1 = ((stabl[1] % G1) + G1) % G1;
+    const int32_t o2 = ((stabl[2] % G2) + G2) % G2;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t c = ci[i];
+        int32_t z = (int32_t)(c % N);
+        int32_t y = (int32_t)((c / N) % N);
+        int32_t x = (int32_t)(c / NN);
+        x -= o0; if (x < 0) x += G0;
+        y -= o1; if (y < 0) y += G1;
+        z -= o2; if (z < 0) z += G2;
+        if (x < L0 && y < L1 && z < L2) {
+            rows[m] = (int32_t)i;
+            lin[m] = ((int64_t)x * L1 + y) * L2 + z;
+            m++;
+        }
+    }
+    return m;
+}
+
+/* dst[i,:] = src[rows[i],:] for [*,3] float32 row tables */
+void gather_rows3(const float *src, const int32_t *rows, int64_t m,
+                  float *dst)
+{
+    for (int64_t i = 0; i < m; i++) {
+        const float *s = src + 3 * (int64_t)rows[i];
+        float *d = dst + 3 * i;
+        d[0] = s[0]; d[1] = s[1]; d[2] = s[2];
+    }
+}
+
+/* gather float32 / int64 vectors by row index */
+void gather_f32(const float *src, const int32_t *rows, int64_t m,
+                float *dst)
+{
+    for (int64_t i = 0; i < m; i++)
+        dst[i] = src[rows[i]];
+}
+
+void gather_i64(const int64_t *src, const int32_t *rows, int64_t m,
+                int64_t *dst)
+{
+    for (int64_t i = 0; i < m; i++)
+        dst[i] = src[rows[i]];
+}
+
+/* loc[lin[i]] = i over a pre-filled(-1) grid */
+void fill_loc(const int32_t *lin, int64_t m, int32_t *loc)
+{
+    for (int64_t i = 0; i < m; i++)
+        loc[lin[i]] = (int32_t)i;
 }
