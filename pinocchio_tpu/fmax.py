@@ -136,6 +136,35 @@ def _gather_rows(v, idx, f16: bool):
     return rows.astype(jnp.float16) if f16 else rows
 
 
+class _LazyVel(dict):
+    """Displacement tables that materialize on first access: sub-box
+    selection (which needs only ci+F) starts while the much larger
+    displacement rows are still crossing the link."""
+
+    def __init__(self, futs, trim):
+        import threading
+        super().__init__({k: None for k in futs})
+        self._futs, self._trim = futs, trim
+        self._lock = threading.Lock()
+
+    def __getitem__(self, k):
+        with self._lock:               # sub-box threads share the dict
+            v = dict.__getitem__(self, k)
+            if v is None:
+                v = self._trim(self._futs.pop(k).result())
+                dict.__setitem__(self, k, v)
+            return v
+
+    def get(self, k, default=None):
+        return self[k] if k in self else default
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        return [self[k] for k in self]
+
+
 class PendingFetch:
     """Overlapped sparse product fetch (TPU backends): the index/Fmax
     compaction is dispatched right after the collapse cycle and its
@@ -195,17 +224,18 @@ class PendingFetch:
                 out[:, c] = rows_h[c, valid]
             return out
 
-        vel_c = {k: trim(fut.result())
-                 for k, fut in self.vel_futs.items()}
+        # lazy: each table materializes on first access, so the caller's
+        # sub-box selection (ci+F only) overlaps the row transfers
+        vel_c = _LazyVel(dict(self.vel_futs), trim)
         # sparse RECOMPUTE segments, aligned row-for-row with vel_c
         self.segments = None
         if getattr(self, "seg_futs", None):
             nseg = 1 + max(s for s, _ in self.seg_futs)
-            self.segments = [dict(vel_c)] + [
-                {k: trim(self.seg_futs[(s, k)].result())
-                 for s2, k in self.seg_futs if s2 == s}
+            self.segments = [vel_c] + [
+                _LazyVel({k: self.seg_futs[(s2, k)]
+                          for s2, k in self.seg_futs if s2 == s}, trim)
                 for s in range(1, nseg)]
-        self.ex.shutdown()
+        self.ex.shutdown(wait=False)
         if verbose:
             nb = self.cap * (8 + 6 * len(vel_c) * (2 if self.f16 else 4))
             print(f"  products: {self.count}/{self.N ** 3} needed "
