@@ -90,30 +90,33 @@ def main():
     N = args.grid
 
     # ---- collapse-phase throughput (the round-1 headline) ----
-    kden = generate_kdensity(grid, cosmo, params.RandomSeed)
-    kden.block_until_ready()
-    pack = collapse.make_inverse_growth_fit(cosmo)
-    radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
-    ig_packs = jnp.asarray(np.tile(pack[None, :], (sm.n, 1)))
+    # its warmup buffers contaminate HBM on the tunneled backend (frees
+    # are lazy), so at large grids the e2e pipeline runs FIRST and this
+    # metric is measured afterwards
+    def measure_collapse():
+        kden = generate_kdensity(grid, cosmo, params.RandomSeed)
+        kden.block_until_ready()
+        pack = collapse.make_inverse_growth_fit(cosmo)
+        radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
+        ig_packs = jnp.asarray(np.tile(pack[None, :], (sm.n, 1)))
 
-    def collapse_phase(kd):
-        out = fmax_loop(kd, radii_grid, ig_packs, N, sm.n)
-        # a device->host transfer is the only reliable sync on the
-        # tunneled TPU backend (block_until_ready returns early there)
-        np.asarray(out[3])
-        return out
+        def collapse_phase(kd):
+            out = fmax_loop(kd, radii_grid, ig_packs, N, sm.n)
+            # a device->host transfer is the only reliable sync on the
+            # tunneled TPU backend (block_until_ready returns early)
+            np.asarray(out[3])
+            return out
 
-    collapse_phase(kden)          # compile + one-time backend warmup
-    best = 1e30
-    for _ in range(args.repeat):
-        t0 = time.perf_counter()
-        collapse_phase(kden)
-        best = min(best, time.perf_counter() - t0)
-    solves = N ** 3 * sm.n
-    rate = solves / best
-    del kden
+        collapse_phase(kden)      # compile + one-time backend warmup
+        best = 1e30
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            collapse_phase(kden)
+            best = min(best, time.perf_counter() - t0)
+        return N ** 3 * sm.n / best, best
 
     if args.collapse_only:
+        rate, best = measure_collapse()
         print(json.dumps({
             "metric": f"Fmax particle-radius solves/s/chip ({N}^3 x "
                       f"{sm.n} radii, collapse phase {best:.3f}s)",
@@ -147,6 +150,11 @@ def main():
             phases = {k: round(v, 2) for k, v in sorted(
                 pipe["timings"].items(), key=lambda kv: -kv[1])
                 if v >= 0.5 and k != "total"}
+        del pipe                  # release device buffers between passes
+        import gc
+        gc.collect()
+
+    rate, _ = measure_collapse()
 
     # HMF average residual vs the chosen analytic fit (the reference's
     # own validation metric: mean |n/n_fit - 1| over populated bins,
