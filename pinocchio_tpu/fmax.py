@@ -130,9 +130,12 @@ def _compact_idx(F, Flast, cap):
 
 @partial(jax.jit, static_argnames=("f16",))
 def _gather_rows(v, idx, f16: bool):
-    """Needed rows of one displacement stack, [3, cap] wire layout."""
+    """Needed rows of one displacement stack, [cap, 3] wire layout: the
+    valid entries are a PREFIX (idx is (-F, cell)-sorted with non-needed
+    keyed last), so the host-side trim is a contiguous slice + one
+    vectorized upcast instead of per-component boolean gathers."""
     safe = jnp.maximum(idx, 0)
-    rows = v.reshape(3, -1)[:, safe]
+    rows = v.reshape(3, -1)[:, safe].T
     return rows.astype(jnp.float16) if f16 else rows
 
 
@@ -219,10 +222,8 @@ class PendingFetch:
         ci = idx_h[valid].astype(np.int64)
         F_c = self.f_fut.result()[valid]
         def trim(rows_h):
-            out = np.empty((len(ci), 3), np.float32)
-            for c in range(3):
-                out[:, c] = rows_h[c, valid]
-            return out
+            # valid entries are the prefix: slice + vectorized upcast
+            return np.ascontiguousarray(rows_h[:len(ci)], np.float32)
 
         # lazy: each table materializes on first access, so the caller's
         # sub-box selection (ci+F only) overlaps the row transfers
@@ -371,7 +372,7 @@ def displacement_stage_fetch(kdensity, sd, growths, idx, N: int,
     safe = jnp.maximum(idx, 0)
     rows = {}
     for k, v in vel.items():
-        r = v.reshape(3, -1)[:, safe]
+        r = v.reshape(3, -1)[:, safe].T      # [cap, 3] wire layout
         rows[k] = r.astype(jnp.float16) if f16 else r
     return vel, rows
 
