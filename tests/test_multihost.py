@@ -96,3 +96,56 @@ def test_mocked_multihost_catalog_union(hmf_validation_params,
     assert len(np.unique(union)) == len(union)
     np.testing.assert_array_equal(np.sort(union),
                                   np.sort(full.catalogs[-1].name))
+
+
+def test_merge_chunks_tool(hmf_validation_params, tmp_path):
+    """Two mocked-host run_pipeline invocations write .out.<h> chunks;
+    scripts/merge_chunks.py must reassemble the single-process files and
+    recompute the mass function from the merged catalog."""
+    import dataclasses
+    import importlib.util
+    import os
+    from pinocchio_tpu.run import run_pipeline
+
+    p = dataclasses.replace(hmf_validation_params, GridSize=64,
+                            output_z=(0.0,), CatalogInAscii=False,
+                            DoNotWriteHistories=True)
+    single = tmp_path / "single"
+    multi = tmp_path / "multi"
+    os.makedirs(single), os.makedirs(multi)
+    run_pipeline(p, outdir=str(single), verbose=False)
+    p2 = dataclasses.replace(p, subbox_tasks=2)
+    for h in range(2):
+        run_pipeline(p2, outdir=str(multi), verbose=False, hosts=(h, 2))
+
+    chunks = sorted(os.listdir(multi))
+    assert any(f.endswith(".catalog.out.0") for f in chunks)
+    assert any(f.endswith(".catalog.out.1") for f in chunks)
+
+    # the tool reads the run's parameter file: give it one that matches
+    # this test's overrides (GridSize 64, single z=0 output)
+    src = open("/root/reference/HMF_Validation/parameter_file").read()
+    src = src.replace("GridSize               128",
+                      "GridSize               64")
+    pf = tmp_path / "parameter_file"
+    pf.write_text(src)
+    (tmp_path / "outputs").write_text("0.0\n")
+
+    spec = importlib.util.spec_from_file_location(
+        "merge_chunks", "/root/repo/scripts/merge_chunks.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main([str(pf), "--dir", str(multi)])
+
+    from pinocchio_tpu.io import readers
+    a = readers.read_catalog(str(single / "pinocchio.0.0000.test"
+                                          ".catalog.out"))
+    b = readers.read_catalog(str(multi / "pinocchio.0.0000.test"
+                                         ".catalog.out"))
+    assert len(a) == len(b)
+    oa, ob = np.argsort(a["name"]), np.argsort(b["name"])
+    np.testing.assert_array_equal(a["name"][oa], b["name"][ob])
+    np.testing.assert_array_equal(a["n"][oa], b["n"][ob])
+    mf = np.loadtxt(str(multi / "pinocchio.0.0000.test.mf.out"))
+    mf_ref = np.loadtxt(str(single / "pinocchio.0.0000.test.mf.out"))
+    np.testing.assert_allclose(mf[:, 4], mf_ref[:, 4])
