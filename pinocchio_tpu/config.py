@@ -90,6 +90,9 @@ class Params:
     fr0: float = 1.e-8                   # -DFR0
     use_sim_params: bool = False         # -DUSE_SIM_PARAMS calibration set
     snapshot: bool = False               # -DSNAPSHOT products (zacc, group ID)
+    light_output: bool = False           # -DLIGHT_OUTPUT: 48-byte binary
+                                         # catalog records (no npart/pad),
+                                         # auto-detected by ReadPinocchio5
     classic_fragmentation: bool = False  # -DCLASSIC_FRAGMENTATION: ship the
                                          # full boundary layer instead of the
                                          # two-turn needed-particle scheme

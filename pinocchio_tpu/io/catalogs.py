@@ -26,6 +26,11 @@ FILAMENT = 1
 CATALOG_DTYPE = np.dtype([("name", "<u8"), ("M", "<f4"),
                           ("x", "<f4", 3), ("v", "<f4", 3), ("q", "<f4", 3),
                           ("n", "<i4"), ("pad", "<i4")])
+# -DLIGHT_OUTPUT record (write_halos.c:292-299; ReadPinocchio5.py's
+# record_length==48 branch): no particle count, no padding
+CATALOG_LIGHT_DTYPE = np.dtype([("name", "<u8"), ("M", "<f4"),
+                                ("x", "<f4", 3), ("v", "<f4", 3),
+                                ("q", "<f4", 3)])
 
 # histories_data layout (pinocchio.h:454-459)
 HISTORIES_DTYPE = np.dtype([("name", "<u8"), ("nick", "<i4"), ("ll", "<i4"),
@@ -162,15 +167,17 @@ def write_catalog(params: Params, snap: CatalogSnapshot,
                                 q[i, 2], x[i, 0], x[i, 1], x[i, 2],
                                 v[i, 0], v[i, 1], v[i, 2], snap.mass[i]))
     else:
-        rec = np.zeros(n, CATALOG_DTYPE)
+        dt = CATALOG_LIGHT_DTYPE if params.light_output else CATALOG_DTYPE
+        rec = np.zeros(n, dt)
         rec["name"] = snap.name
         rec["M"] = M
         rec["x"] = x
         rec["v"] = v
         rec["q"] = q
-        rec["n"] = snap.mass
+        if not params.light_output:
+            rec["n"] = snap.mass
         with open(path, "wb") as fd:
-            _write_record(fd, np.array([1, CATALOG_DTYPE.itemsize], "<i4"))
+            _write_record(fd, np.array([1, dt.itemsize], "<i4"))
             _write_record(fd, np.array([n], "<i4"))
             if n:
                 _write_record(fd, rec)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .catalogs import CATALOG_DTYPE, HISTORIES_DTYPE
+from .catalogs import CATALOG_DTYPE, CATALOG_LIGHT_DTYPE, HISTORIES_DTYPE
 
 PLC_DTYPE = np.dtype([("name", "<u8"), ("red", "<f4"), ("x", "<f4"),
                       ("y", "<f4"), ("z", "<f4"), ("vx", "<f4"),
@@ -67,15 +67,28 @@ def read_catalog(path: str) -> np.ndarray:
     out = []
     with open(path, "rb") as fd:
         hdr = _read_record(fd, "<i4")           # [NTasksPerFile, itemsize]
-        assert hdr is not None and hdr[1] == CATALOG_DTYPE.itemsize, \
-            f"unexpected catalog record size {hdr}"
+        assert hdr is not None, f"empty catalog {path}"
+        if hdr[1] == CATALOG_DTYPE.itemsize:
+            dt = CATALOG_DTYPE
+        elif hdr[1] == CATALOG_LIGHT_DTYPE.itemsize:   # -DLIGHT_OUTPUT
+            dt = CATALOG_LIGHT_DTYPE
+        else:
+            raise ValueError(f"unexpected catalog record size {hdr}")
         while True:
             ngood = _read_record(fd, "<i4")
             if ngood is None:
                 break
             if ngood[0]:
-                out.append(_read_record(fd, CATALOG_DTYPE))
-    return np.concatenate(out) if out else np.zeros(0, CATALOG_DTYPE)
+                out.append(_read_record(fd, dt))
+    if not out:
+        return np.zeros(0, CATALOG_DTYPE)
+    rec = np.concatenate(out)
+    if dt is CATALOG_LIGHT_DTYPE:
+        full = np.zeros(len(rec), CATALOG_DTYPE)
+        for f in rec.dtype.names:
+            full[f] = rec[f]
+        return full
+    return rec
 
 
 def read_histories(path: str):

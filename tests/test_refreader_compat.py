@@ -122,3 +122,31 @@ def test_own_readers_agree_with_reference_reader(written_run, ref_reader):
     np.testing.assert_array_equal(np.asarray(ours["name"], np.uint64),
                                   np.asarray(ref.data["name"], np.uint64))
     np.testing.assert_allclose(ours["M"], ref.Mass)
+
+
+def test_light_output_read_by_reference_reader(written_run, ref_reader,
+                                               tmp_path):
+    """-DLIGHT_OUTPUT analog: the 48-byte record is auto-detected by
+    ReadPinocchio5 (its record_length==48 branch) and by io.readers."""
+    from pinocchio_tpu.io.catalogs import (CATALOG_LIGHT_DTYPE,
+                                           convert_catalog_units,
+                                           write_catalog)
+    from pinocchio_tpu.io.readers import read_catalog
+    p, outdir, res = written_run
+    p_light = dataclasses.replace(p, light_output=True)
+    snap = res["frag"].catalogs[-1]
+    path = write_catalog(p_light, snap, str(tmp_path))
+    assert CATALOG_LIGHT_DTYPE.itemsize == 48
+
+    cat = ref_reader.catalog(path, silent=True)
+    assert cat.Nhalos == len(snap.mass)
+    np.testing.assert_array_equal(np.asarray(cat.data["name"], np.uint64),
+                                  snap.name)
+    M, q, x, v = convert_catalog_units(p_light, snap)
+    np.testing.assert_allclose(cat.Mass, M, rtol=1e-6)
+    np.testing.assert_allclose(cat.pos, x, rtol=1e-6)
+
+    mine = read_catalog(path)
+    np.testing.assert_array_equal(mine["name"], snap.name)
+    np.testing.assert_allclose(mine["x"], x, rtol=1e-6)
+    assert (mine["n"] == 0).all()        # light format drops npart
