@@ -1003,6 +1003,29 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
                 __builtin_prefetch(&in->loc[c0 + Lz], 0, 1);
             /* z neighbours share c0's cache line almost always */
         }
+        /* stage 2: loc[] for this distance is cached by now — chase it
+         * to prefetch the second-level per-particle loads */
+        if (this_z + PREFETCH_DIST / 3 < in->n) {
+            const int32_t pp = in->pos[this_z + PREFETCH_DIST / 3];
+            const int pz = pp % Lz;
+            const int32_t pk = pp / Lz;
+            const int py = pk % Ly;
+            const int px = pk / Ly;
+            const int64_t c0 =
+                (int64_t)pz + (int64_t)Lz * (py + (int64_t)Ly * px);
+            const int64_t cs[4] = {
+                px > 0 ? c0 - (int64_t)Lz * Ly : c0,
+                px < Lx - 1 ? c0 + (int64_t)Lz * Ly : c0,
+                py > 0 ? c0 - Lz : c0,
+                py < Ly - 1 ? c0 + Lz : c0 };
+            for (int t = 0; t < 4; t++) {
+                const int32_t q = in->loc[cs[t]];
+                if (q >= 0) {
+                    __builtin_prefetch(&group_of_particle_arr[q], 0, 1);
+                    __builtin_prefetch(&in->Fmax[q], 0, 1);
+                }
+            }
+        }
         const double F = (double)in->Fmax[this_z];
         const int32_t p = in->pos[this_z];
 
