@@ -217,6 +217,8 @@ class PendingFetch:
         self.seg_futs[(iseg, key)] = self.ex.submit(np.asarray, rows)
 
     def finish(self, verbose: bool = False) -> SparseProducts:
+        if getattr(self, "_sp", None) is not None:
+            return self._sp
         idx_h = self.idx_fut.result()
         valid = idx_h >= 0
         ci = idx_h[valid].astype(np.int64)
@@ -237,14 +239,16 @@ class PendingFetch:
                           for s2, k in self.seg_futs if s2 == s}, trim)
                 for s in range(1, nseg)]
         self.ex.shutdown(wait=False)
+        self.idx_dev = None            # release the device index buffer
         if verbose:
             nb = self.cap * (8 + 6 * len(vel_c) * (2 if self.f16 else 4))
             print(f"  products: {self.count}/{self.N ** 3} needed "
                   f"particles ({100.0 * self.count / self.N ** 3:.1f}%), "
                   f"{nb / 1e6:.0f} MB transferred, overlapped with LPT "
                   f"({time.perf_counter() - self.t0:.1f}s since cycle)")
-        return SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c,
-                              sorted_by="F")
+        self._sp = SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c,
+                                  sorted_by="F")
+        return self._sp
 
 
 @dataclass
