@@ -97,6 +97,9 @@ class SparseProducts:
     # time, ties by ascending cell index — the sweep's processing order,
     # pre-sorted ON DEVICE so sub-box loading skips the host argsort)
     sorted_by: str = "ci"
+    # RECOMPUTE_DISPLACEMENTS segment rows aligned with `vel` (set when
+    # segments were routed by the cross-host exchange)
+    segments: list = None
 
 
 def _transfer_policy(params):
@@ -260,6 +263,9 @@ class FmaxResult:
     # RECOMPUTE_DISPLACEMENTS: one displacement set per output redshift
     # (list of dicts of host [3,N,N,N] arrays); None in single-segment mode
     vel_segments: list = None
+    # deferred distributed segments: device-sharded stacks kept for the
+    # cross-host exchange to route (parallel/exchange.py)
+    vel_segments_dev: list = None
     # set by fetch_products_host on TPU backends: compact host copy
     host_products: SparseProducts = None
     # in-flight overlapped fetch (resolved by fetch_products_host)

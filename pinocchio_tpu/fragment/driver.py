@@ -479,6 +479,12 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     v32 = gather_vel("v32")
 
     # RECOMPUTE_DISPLACEMENTS: gather every segment's displacement set
+    if getattr(fmax_result, "vel_segments_dev", None) \
+            and fmax_result.vel_segments is None:
+        raise ValueError(
+            "deferred device segments present but not routed: fragment "
+            "through the host-sliced exchange path or rerun the fmax "
+            "stage with defer_segments=False")
     seg_vel = None
     if fmax_result.vel_segments is not None and not quick:
         if fmax_result.seg_sparse:

@@ -55,6 +55,13 @@ def _host_copy(params, fmax_result, verbose=False, host_slice=None,
             sp = exchange_products(params, fmax_result, mesh, all_geoms,
                                    host_slice[1],
                                    verbose=verbose)[host_slice[0]]
+            if sp.segments is not None:
+                # RECOMPUTE segments routed by the exchange, aligned
+                # with the sparse rows
+                return dataclasses.replace(
+                    fmax_result, host_products=sp,
+                    vel_segments=sp.segments, vel_segments_dev=None,
+                    seg_sparse=True)
         else:
             from ..parallel.multihost import fetch_local_sparse
             sp = fetch_local_sparse(params, fmax_result)

@@ -1345,15 +1345,16 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
                 if (g <= FILAMENT)
                     continue;
                 g = uf_find(g);
+                const int64_t rj = prow(jz);
                 for (int i = 0; i < 3; i++) {
-                    G.gv1[3 * g + i] += a1[3 * jz + i];
-                    if (a2) G.gv2[3 * g + i] += a2[3 * jz + i];
-                    if (a31) G.gv31[3 * g + i] += a31[3 * jz + i];
-                    if (a32) G.gv32[3 * g + i] += a32[3 * jz + i];
-                    G.pv1[3 * g + i] += p1[3 * jz + i];
-                    if (p2) G.pv2[3 * g + i] += p2[3 * jz + i];
-                    if (p31) G.pv31[3 * g + i] += p31[3 * jz + i];
-                    if (p32) G.pv32[3 * g + i] += p32[3 * jz + i];
+                    G.gv1[3 * g + i] += a1[3 * rj + i];
+                    if (a2) G.gv2[3 * g + i] += a2[3 * rj + i];
+                    if (a31) G.gv31[3 * g + i] += a31[3 * rj + i];
+                    if (a32) G.gv32[3 * g + i] += a32[3 * rj + i];
+                    G.pv1[3 * g + i] += p1[3 * rj + i];
+                    if (p2) G.pv2[3 * g + i] += p2[3 * rj + i];
+                    if (p31) G.pv31[3 * g + i] += p31[3 * rj + i];
+                    if (p32) G.pv32[3 * g + i] += p32[3 * rj + i];
                 }
             }
             for (int32_t g = FILAMENT + 1; g <= G.ngroups; g++) {

@@ -204,7 +204,7 @@ def build_displacement_stage(decomp, order: int, scaledep: bool = False):
 
 
 def run_fmax_distributed(params, cosmo, mesh: Mesh, scaledep_gm=None,
-                         verbose: bool = True):
+                         verbose: bool = True, defer_segments: bool = None):
     """Multi-chip run_fmax: IC generation, the smoothing cycle and the LPT
     stage all sharded over the mesh, covering the full feature set of the
     single-chip path (scale-dependent growth, TABULATED_CT / ELL_SNG
@@ -284,16 +284,30 @@ def run_fmax_distributed(params, cosmo, mesh: Mesh, scaledep_gm=None,
         return np.asarray(v)
 
     vel_segments = None
+    vel_segments_dev = None
     if params.recompute_displacements and len(params.output_z) > 1:
-        vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
-        for zseg in params.output_z[1:]:
-            vs = stage(kden, sd, growths_at(zseg))
-            vel_segments.append({k: _fetch(v) for k, v in vs.items()})
+        if defer_segments is None:
+            # a multi-process cluster cannot gather cross-host arrays:
+            # keep segments device-sharded for the exchange to route
+            defer_segments = jax.process_count() > 1
+        if defer_segments:
+            vel_segments_dev = [dict(vel)]
+            for zseg in params.output_z[1:]:
+                vs = stage(kden, sd, growths_at(zseg))
+                for v in vs.values():
+                    v.block_until_ready()
+                vel_segments_dev.append(vs)
+        else:
+            vel_segments = [{k: _fetch(v) for k, v in vel.items()}]
+            for zseg in params.output_z[1:]:
+                vs = stage(kden, sd, growths_at(zseg))
+                vel_segments.append({k: _fetch(v) for k, v in vs.items()})
     timings["lpt"] = time.perf_counter() - t0
 
     products = Products(Fmax=Fmax, Rmax=Rmax, vel=vel)
     return FmaxResult(products=products, smoothing=sm, grid=grid,
                       kdensity=kden, vel_segments=vel_segments,
+                      vel_segments_dev=vel_segments_dev,
                       timings=timings)
 
 

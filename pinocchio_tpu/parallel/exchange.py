@@ -128,7 +128,12 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
                       verbose: bool = False) -> Dict[int, "SparseProducts"]:
     """Run the exchange; return {host_id: SparseProducts} for every host
     whose post-exchange shards are addressable from this process (on a
-    real cluster: exactly this host; in single-process tests: all)."""
+    real cluster: exactly this host; in single-process tests: all).
+
+    When fmax_result.vel_segments_dev is set (RECOMPUTE_DISPLACEMENTS on
+    a deferred-segment distributed run), the per-segment displacement
+    stacks are routed as additional row channels and come back in each
+    host's SparseProducts.segments, aligned row-for-row with .vel."""
     import time
 
     from ..fmax import SparseProducts
@@ -150,6 +155,16 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
         for h in range(nhosts))
     assert all(host_devs), "every host needs at least one mesh device"
     keys = sorted(prods.vel)
+    # row-table channels: the displacement stacks, plus one channel per
+    # (segment, stack) when segments are still on device
+    seg_dev = getattr(fmax_result, "vel_segments_dev", None)
+    channels = [("v", k) for k in keys]
+    tables = [prods.vel[k] for k in keys]
+    if seg_dev:
+        for s, vs in enumerate(seg_dev):
+            for k in sorted(vs):
+                channels.append(("s", s, k))
+                tables.append(vs[k])
     real_spec = decomp.real_spec
     vel_spec = P(None, *real_spec)
 
@@ -186,7 +201,7 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
         bx = jnp.full((cap,), -1, jnp.int32)
         byz = jnp.zeros((cap,), jnp.int32)
         bF = jnp.zeros((cap,), wire)
-        bV = [jnp.zeros((cap, 3), wire) for _ in keys]
+        bV = [jnp.zeros((cap, 3), wire) for _ in channels]
         gxf = jnp.broadcast_to(gx[:, None, None], (nx, ny, nz)).ravel()
         gyzf = jnp.broadcast_to((gy[:, None] * N + gz[None, :])[None],
                                 (nx, ny, nz)).ravel()
@@ -202,7 +217,7 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
             bx = bx.at[pos].set(gxf, mode="drop")
             byz = byz.at[pos].set(gyzf, mode="drop")
             bF = bF.at[pos].set(Ff, mode="drop")
-            for j in range(len(keys)):
+            for j in range(len(channels)):
                 bV[j] = bV[j].at[pos].set(vrows[j], mode="drop")
         out = [b.reshape(p, c2) for b in (bx, byz, bF)]
         out += [b.reshape(p, c2, 3) for b in bV]
@@ -210,10 +225,11 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
 
     lead = (mesh.axis_names[0] if len(mesh.axis_names) == 1
             else tuple(mesh.axis_names))
-    out_specs = tuple([P(lead, None)] * 3 + [P(lead, None, None)] * len(keys))
+    out_specs = tuple([P(lead, None)] * 3
+                      + [P(lead, None, None)] * len(channels))
     packed = pfft.shard_map_fn(
-        mesh, pack_local, (real_spec,) + (vel_spec,) * len(keys),
-        out_specs)(prods.Fmax, *[prods.vel[k] for k in keys])
+        mesh, pack_local, (real_spec,) + (vel_spec,) * len(channels),
+        out_specs)(prods.Fmax, *tables)
 
     # ---- 3. per-host extraction from addressable shards
     dev_pos = {id(d): i for i, d in enumerate(mesh.devices.flat)}
@@ -227,7 +243,7 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     out: Dict[int, SparseProducts] = {}
     for h in range(nhosts):
         ci_parts, F_parts = [], []
-        v_parts = {k: [] for k in keys}
+        v_parts = {c: [] for c in channels}
         got = False
         for d in host_devs[h]:
             if d not in per_dev:
@@ -241,8 +257,8 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
             yz = byz.ravel()[valid].astype(np.int64)
             ci_parts.append(x * N * N + yz)
             F_parts.append(bF.reshape(-1)[valid].astype(np.float32))
-            for j, k in enumerate(keys):
-                v_parts[k].append(
+            for j, c in enumerate(channels):
+                v_parts[c].append(
                     per_dev[d][3 + j].reshape(-1, 3)[valid]
                     .astype(np.float32))
         if not got:
@@ -250,14 +266,22 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
         if ci_parts:
             ci = np.concatenate(ci_parts)
             order = np.argsort(ci, kind="stable")
-            out[h] = SparseProducts(
-                N=N, ci=ci[order],
-                F=np.concatenate(F_parts)[order],
-                vel={k: np.concatenate(v_parts[k])[order] for k in keys})
+            rows = {c: np.concatenate(v_parts[c])[order]
+                    for c in channels}
         else:
-            out[h] = SparseProducts(
-                N=N, ci=np.zeros(0, np.int64), F=np.zeros(0, np.float32),
-                vel={k: np.zeros((0, 3), np.float32) for k in keys})
+            ci = np.zeros(0, np.int64)
+            order = np.zeros(0, np.int64)
+            rows = {c: np.zeros((0, 3), np.float32) for c in channels}
+        segs = None
+        if seg_dev:
+            segs = [{k: rows[("s", s2, k)] for k in sorted(vs)}
+                    for s2, vs in enumerate(seg_dev)]
+        out[h] = SparseProducts(
+            N=N, ci=ci[order] if len(ci) else ci,
+            F=(np.concatenate(F_parts)[order] if len(ci)
+               else np.zeros(0, np.float32)),
+            vel={k: rows[("v", k)] for k in keys},
+            segments=segs)
     if verbose:
         tot = sum(len(s.ci) for s in out.values())
         print(f"  exchange: cap {c2}/dev-slot x {p} devices, "

@@ -118,3 +118,53 @@ def test_multibox_exchange_catalog_union(sharded64,
     o_un = np.argsort(union)
     np.testing.assert_array_equal(np.concatenate(masses)[o_un],
                                   full.catalogs[-1].mass[o_full])
+
+
+def test_exchange_routes_recompute_segments(hmf_validation_params,
+                                            hmf_validation_cosmology):
+    """RECOMPUTE_DISPLACEMENTS on a deferred-segment distributed run: the
+    exchange routes every segment's displacement rows, and host-sliced
+    fragmentation matches the single-process run exactly."""
+    from pinocchio_tpu.parallel import pfft
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    from pinocchio_tpu.parallel.exchange import exchange_products
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+
+    p = dataclasses.replace(hmf_validation_params, GridSize=64,
+                            recompute_displacements=True,
+                            transfer_f16=False)
+    assert len(p.output_z) > 1
+    c = hmf_validation_cosmology
+    res = run_fmax_distributed(p, c, pfft.make_pencil_mesh(8),
+                               verbose=False, defer_segments=True)
+    assert res.vel_segments is None and res.vel_segments_dev is not None
+    geoms, nbox = _geoms(p, c, 4)
+
+    # routed segment rows equal the direct per-host selection
+    out = exchange_products(p, res, res.products.Fmax.sharding.mesh,
+                            geoms, 2, f16=False)
+    for h in range(2):
+        sp = out[h]
+        assert sp.segments is not None and len(sp.segments) == \
+            len(p.output_z)
+        seg1 = np.asarray(res.vel_segments_dev[1]["v1"]).reshape(3, -1)
+        np.testing.assert_array_equal(sp.segments[1]["v1"],
+                                      seg1[:, sp.ci].T)
+
+    # end-to-end: host-sliced catalogs == single-process catalogs (the
+    # baseline run fetches segments to host, the sliced runs route them)
+    largest = largest_halo_mass(p, c)
+    res_full = run_fmax_distributed(p, c, pfft.make_pencil_mesh(8),
+                                    verbose=False, defer_segments=False)
+    full = run_fragmentation_multibox(p, c, res_full, nbox,
+                                      largest_mass=largest, verbose=False)
+    names = []
+    for h in range(2):
+        part = run_fragmentation_multibox(
+            p, c, res, nbox, largest_mass=largest,
+            host_slice=(h, 2), verbose=False)
+        names.append(part.catalogs[-1].name)
+    union = np.concatenate(names)
+    np.testing.assert_array_equal(np.sort(union),
+                                  np.sort(full.catalogs[-1].name))

@@ -266,3 +266,32 @@ def test_sparse_recompute_segments(hmf_validation_params,
         assert np.array_equal(c0.mass, c1.mass)
         np.testing.assert_allclose(c0.x, c1.x, rtol=0, atol=2e-4)
         np.testing.assert_allclose(c0.v, c1.v, rtol=0, atol=2e-3)
+
+
+def test_sparse_recompute_segments_subbox(hmf_validation_params,
+                                          hmf_validation_cosmology):
+    """Regression: the segment-crossing group-velocity rebuild must apply
+    the rowmap (it indexed particles directly and silently read wrong
+    rows whenever sub-box rows != sparse-table rows)."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host, run_fmax
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+
+    base = dataclasses.replace(hmf_validation_params, GridSize=64,
+                               recompute_displacements=True,
+                               transfer_f16=False, subbox_tasks=2)
+    c = hmf_validation_cosmology
+    r_d = run_fmax(dataclasses.replace(base, sparse_transfer=False), c,
+                   verbose=False)
+    p_sp = dataclasses.replace(base, sparse_transfer=True)
+    r_s = fetch_products_host(p_sp, run_fmax(p_sp, c, verbose=False))
+
+    f_d = run_fragmentation_multibox(base, c, r_d, (2, 1, 1),
+                                     verbose=False)
+    f_s = run_fragmentation_multibox(p_sp, c, r_s, (2, 1, 1),
+                                     verbose=False)
+    assert np.array_equal(f_d.counters, f_s.counters)
+    for c0, c1 in zip(f_d.catalogs, f_s.catalogs):
+        o0, o1 = np.argsort(c0.name), np.argsort(c1.name)
+        assert np.array_equal(c0.name[o0], c1.name[o1])
+        assert np.array_equal(c0.mass[o0], c1.mass[o1])
