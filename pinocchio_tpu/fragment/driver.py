@@ -427,15 +427,35 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                        rows.ctypes.data_as(_i32p), ctypes.c_int64(n),
                        gsel.ctypes.data_as(_i64p))
         F_grid = None                # peak capacity sized from n instead
-        # no per-box displacement copies: the sweep reads the shared
-        # sparse tables through rowmap (one ~GB gather per table per
-        # sub-box saved; the tables are read-only across box threads)
-        rowmap = rows
+        # the rowmap convention must cover EVERY per-particle table the
+        # sweep reads: with DENSE vel_segments (seg_sparse False) the
+        # segment tables are per-box [n,3] arrays, so fall back to
+        # per-box copies of the displacement tables too
+        use_rowmap = (fmax_result.vel_segments is None or quick
+                      or fmax_result.seg_sparse)
+        if use_rowmap:
+            # no per-box displacement copies: the sweep reads the shared
+            # sparse tables through rowmap (one ~GB gather per table per
+            # sub-box saved; the tables are read-only across box threads)
+            rowmap = rows
 
-        def gather_vel(key):
-            if key not in sp.vel:
-                return None
-            return np.ascontiguousarray(sp.vel[key], np.float32)
+            def gather_vel(key):
+                if key not in sp.vel:
+                    return None
+                return np.ascontiguousarray(sp.vel[key], np.float32)
+        else:
+            rowmap = None
+
+            def gather_vel(key):
+                if key not in sp.vel:
+                    return None
+                src = np.ascontiguousarray(sp.vel[key], np.float32)
+                out = np.empty((n, 3), np.float32)
+                lib.gather_rows3(src.ctypes.data_as(_f32p),
+                                 rows.ctypes.data_as(_i32p),
+                                 ctypes.c_int64(n),
+                                 out.ctypes.data_as(_f32p))
+                return out
     else:
         F_full = np.asarray(fmax_result.products.Fmax)
         if full_box:
@@ -506,7 +526,12 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                    for vs in fmax_result.vel_segments]
 
     loc = np.full(ncells, -1, np.int32)
-    loc[sel] = np.arange(n, dtype=np.int32)
+    if sp is not None:
+        _subsel_lib().fill_loc(pos.ctypes.data_as(_i32p),
+                               ctypes.c_int64(n),
+                               loc.ctypes.data_as(_i32p))
+    else:
+        loc[sel] = np.arange(n, dtype=np.int32)
     timings["sort"] = time.perf_counter() - t0
 
     # ---- guard rails (fragment.c:258-283, build_groups.c:350-357) ----

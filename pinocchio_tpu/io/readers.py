@@ -127,15 +127,24 @@ def read_histories(path: str):
         return len(trees), trees
     with open(path, "rb") as fd:
         _read_record(fd, "<i4")                 # itemsize
-        hdr = _read_record(fd, "<i4")           # [ntrees, nbranch]
+        hdr = _read_record(fd, "<i4")           # global [ntrees, nbranch]
         ntrees = int(hdr[0])
-        per_tree = _read_record(fd, "<i4")
-        branches = _read_record(fd, HISTORIES_DTYPE)
-    trees = []
-    off = 0
-    for nb in per_tree:
-        trees.append(branches[off:off + nb])
-        off += nb
+        trees = []
+        # collector blocks: [tree count][branches per tree][branch data]
+        # repeated per writing task (write_halos.c:1035-1103)
+        while True:
+            cnt = _read_record(fd, "<i4")
+            if cnt is None:
+                break
+            per_tree = (_read_record(fd, "<i4") if cnt[0]
+                        else np.zeros(0, "<i4"))
+            branches = (_read_record(fd, HISTORIES_DTYPE)
+                        if per_tree.sum() else
+                        np.zeros(0, HISTORIES_DTYPE))
+            off = 0
+            for nb in per_tree:
+                trees.append(branches[off:off + nb])
+                off += nb
     return ntrees, trees
 
 

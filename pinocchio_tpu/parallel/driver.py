@@ -291,7 +291,10 @@ def run_fmax_distributed(params, cosmo, mesh: Mesh, scaledep_gm=None,
             # keep segments device-sharded for the exchange to route
             defer_segments = jax.process_count() > 1
         if defer_segments:
-            vel_segments_dev = [dict(vel)]
+            # segment 0 IS the products.vel set: mark it None so the
+            # exchange aliases the 'v' channels instead of shipping the
+            # same rows twice
+            vel_segments_dev = [None]
             for zseg in params.output_z[1:]:
                 vs = stage(kden, sd, growths_at(zseg))
                 for v in vs.values():

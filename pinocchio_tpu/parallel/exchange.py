@@ -162,6 +162,8 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     tables = [prods.vel[k] for k in keys]
     if seg_dev:
         for s, vs in enumerate(seg_dev):
+            if vs is None:
+                continue               # segment 0 aliases the 'v' channels
             for k in sorted(vs):
                 channels.append(("s", s, k))
                 tables.append(vs[k])
@@ -274,7 +276,8 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
             rows = {c: np.zeros((0, 3), np.float32) for c in channels}
         segs = None
         if seg_dev:
-            segs = [{k: rows[("s", s2, k)] for k in sorted(vs)}
+            segs = [({k: rows[("v", k)] for k in keys} if vs is None
+                     else {k: rows[("s", s2, k)] for k in sorted(vs)})
                     for s2, vs in enumerate(seg_dev)]
         out[h] = SparseProducts(
             N=N, ci=ci[order] if len(ci) else ci,

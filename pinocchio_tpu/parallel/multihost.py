@@ -19,9 +19,12 @@ packed sparse all_to_all in parallel/exchange.py (the distribute.c:58-175
 hypercube analog): fragment.subbox._host_copy runs it automatically
 whenever the products are sharded over a multi-device mesh divisible into
 host groups, and falls back to the per-shard local fetch below otherwise.
-Remaining limit (documented in README): each host writes catalogs for its
-own sub-boxes as .out.<host> chunks, and RECOMPUTE_DISPLACEMENTS segments
-are still gathered rather than exchanged.
+RECOMPUTE_DISPLACEMENTS segment sets are deferred on device
+(run_fmax_distributed defer_segments, automatic for multi-process runs)
+and routed by the same collective as extra row channels.  Each host
+writes its outputs as .out.<host> chunks via a private staging directory;
+scripts/merge_chunks.py reassembles them and recomputes the merged-only
+products (mass functions, n(z)).
 """
 
 from __future__ import annotations

@@ -142,12 +142,19 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         largest = io_cat.largest_halo_mass(params, cosmo)
         tick("io_largest")
 
+        # multi-host: write into a per-host staging directory so hosts
+        # sharing one filesystem never race on the canonical path, then
+        # surface each file as an .out.<host> chunk of one logical
+        # multi-file output (the collector scheme, write_halos.c:194-225)
+        io_dir = outdir
+        if nhosts > 1:
+            io_dir = os.path.join(outdir, f".host{host_id}")
+            os.makedirs(io_dir, exist_ok=True)
+
         def _host_chunk(path):
-            # multi-host: each process's catalogs become .out.<host>
-            # chunks of one logical multi-file output (the collector
-            # scheme's file layout, write_halos.c:194-225)
             if nhosts > 1:
-                chunk = f"{path}.{host_id}"
+                chunk = os.path.join(outdir,
+                                     f"{os.path.basename(path)}.{host_id}")
                 os.replace(path, chunk)
                 return chunk
             return path
@@ -158,7 +165,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=4) as _io_ex:
             cat_futs = [_io_ex.submit(io_cat.write_catalog, params, snap,
-                                      outdir)
+                                      io_dir)
                         for snap in frag_res.catalogs]
             mf_futs = [_io_ex.submit(io_cat.compute_mf, params, cosmo,
                                      snap, outdir, largest=largest)
@@ -176,14 +183,14 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                   "rerun compute_mf offline)")
         if not params.DoNotWriteHistories:
             written.append(_host_chunk(io_cat.write_histories(
-                params, frag_res.groups, outdir)))
+                params, frag_res.groups, io_dir)))
             tick("io_histories")
         if frag_res.plc is not None and not params.DoNotWriteCatalogs:
             written.append(_host_chunk(write_plc_catalog(
                 params, plc_geom,
                 dict(name=frag_res.plc.name, z=frag_res.plc.z,
                      mass=frag_res.plc.mass, x=frag_res.plc.x,
-                     v=frag_res.plc.v), outdir)))
+                     v=frag_res.plc.v), io_dir)))
             if nhosts == 1:
                 written.append(write_nz(params, cosmo, plc_geom,
                                         frag_res.plc.nz, outdir))
@@ -193,6 +200,11 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             written.append(write_timeless_snapshot(params, fmax_res,
                                                    frag_res, outdir))
             tick("io_snapshot")
+        if nhosts > 1:
+            try:
+                os.rmdir(io_dir)
+            except OSError:
+                pass
         timings["io"] = time.perf_counter() - t0
 
     timings["total"] = time.perf_counter() - t_total

@@ -29,22 +29,44 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 
 def merge_file(path: str, chunks, keep: bool):
-    """Concatenate chunks into `path`.  Ascii chunks lose their repeated
-    comment headers; binary chunks lose the repeated 16-byte
-    [NTasksPerFile, itemsize] fortran header record, so the result is
-    one multi-task-record file exactly like the reference collector's
-    (write_halos.c:194-225) that ReadPinocchio5.py parses whole."""
+    """Concatenate chunks into `path`, aware of each output's binary
+    framing so the result is exactly one collector-scheme file
+    (write_halos.c:194-225,1035-1103) that ReadPinocchio5.py parses:
+
+      catalog    [NTasksPerFile,itemsize](16B) + per-task blocks
+      plc        [itemsize](12B)              + per-task blocks
+      histories  [itemsize](12B) + global [Ntrees,Nbranches](16B)
+                 + collector blocks — the global counts are re-summed
+
+    Ascii chunks lose their repeated comment headers."""
+    import struct
     with open(chunks[0], "rb") as fd:
         ascii_mode = fd.read(1) == b"#"
+    histories = ".histories." in os.path.basename(path)
+    skip = 12 if ".plc." in os.path.basename(path) else 16
+    if histories:
+        skip = 28                      # itemsize record + global record
+        ntrees = nbranch = 0
+        for chunk in chunks:
+            with open(chunk, "rb") as fd:
+                hdr = fd.read(28)
+            t, b = struct.unpack("<ii", hdr[16:24])
+            ntrees += t
+            nbranch += b
     with open(path, "wb") as out:
         for i, chunk in enumerate(chunks):
             with open(chunk, "rb") as fd:
                 data = fd.read()
-            if i > 0:
-                if ascii_mode:
+            if ascii_mode:
+                if i > 0:
                     data = re.sub(rb"^(#[^\n]*\n)+", b"", data)
-                else:
-                    data = data[16:]     # repeated header record
+            elif histories:
+                if i == 0:
+                    out.write(data[:12])
+                    out.write(struct.pack("<iiii", 8, ntrees, nbranch, 8))
+                data = data[skip:]
+            elif i > 0:
+                data = data[skip:]     # repeated header record
             out.write(data)
     if not keep:
         for chunk in chunks:

@@ -295,3 +295,35 @@ def test_sparse_recompute_segments_subbox(hmf_validation_params,
         o0, o1 = np.argsort(c0.name), np.argsort(c1.name)
         assert np.array_equal(c0.name[o0], c1.name[o1])
         assert np.array_equal(c0.mass[o0], c1.mass[o1])
+
+
+def test_dense_segments_with_sparse_products_subbox(
+        hmf_validation_params, hmf_validation_cosmology):
+    """Mixed mode (review finding): DENSE vel_segments + sparse host
+    products must fall back to per-box displacement copies — the rowmap
+    convention cannot cover per-box [n,3] segment tables."""
+    import dataclasses
+    from pinocchio_tpu.fmax import fetch_products_host, run_fmax
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+
+    base = dataclasses.replace(hmf_validation_params, GridSize=64,
+                               recompute_displacements=True,
+                               transfer_f16=False)
+    c = hmf_validation_cosmology
+    # dense everything (oracle)
+    r_d = run_fmax(dataclasses.replace(base, sparse_transfer=False), c,
+                   verbose=False)
+    f_d = run_fragmentation_multibox(base, c, r_d, (2, 1, 1),
+                                     verbose=False)
+    # dense segments + post-hoc sparse products on the SAME fields
+    p_sp = dataclasses.replace(base, sparse_transfer=True)
+    r_m = fetch_products_host(p_sp, dataclasses.replace(
+        r_d, host_products=None, pending_fetch=None))
+    assert r_m.vel_segments is not None and not r_m.seg_sparse
+    f_m = run_fragmentation_multibox(p_sp, c, r_m, (2, 1, 1),
+                                     verbose=False)
+    assert np.array_equal(f_d.counters, f_m.counters)
+    for c0, c1 in zip(f_d.catalogs, f_m.catalogs):
+        o0, o1 = np.argsort(c0.name), np.argsort(c1.name)
+        assert np.array_equal(c0.name[o0], c1.name[o1])
+        assert np.array_equal(c0.mass[o0], c1.mass[o1])

@@ -109,7 +109,8 @@ def test_merge_chunks_tool(hmf_validation_params, tmp_path):
 
     p = dataclasses.replace(hmf_validation_params, GridSize=64,
                             output_z=(0.0,), CatalogInAscii=False,
-                            DoNotWriteHistories=True)
+                            plc_enabled=True, StartingzForPLC=0.3,
+                            LastzForPLC=0.0)
     single = tmp_path / "single"
     multi = tmp_path / "multi"
     os.makedirs(single), os.makedirs(multi)
@@ -149,3 +150,20 @@ def test_merge_chunks_tool(hmf_validation_params, tmp_path):
     mf = np.loadtxt(str(multi / "pinocchio.0.0000.test.mf.out"))
     mf_ref = np.loadtxt(str(single / "pinocchio.0.0000.test.mf.out"))
     np.testing.assert_allclose(mf[:, 4], mf_ref[:, 4])
+
+    # merged histories: summed global counts, all trees parse
+    n1, t1 = readers.read_histories(
+        str(single / "pinocchio.test.histories.out"))
+    n2, t2 = readers.read_histories(
+        str(multi / "pinocchio.test.histories.out"))
+    assert n2 == n1 == len(t2)
+    assert sum(len(t) for t in t2) == sum(len(t) for t in t1)
+
+    # merged PLC parses and matches the single-process population
+    plc1 = readers.read_plc(str(single / "pinocchio.test.plc.out"))
+    plc2 = readers.read_plc(str(multi / "pinocchio.test.plc.out"))
+    assert len(plc2) == len(plc1)
+    np.testing.assert_array_equal(np.sort(plc2["name"]),
+                                  np.sort(plc1["name"]))
+    # recomputed n(z) exists
+    assert (multi / "pinocchio.test.nz.out").exists()
