@@ -97,13 +97,6 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             and not params.ReadProductsFromDumps:
         io_dumps.dump_products(params, fmax_res, outdir)
 
-    if write_outputs:
-        t0 = time.perf_counter()
-        fmax_pdf(fmax_res.products.Fmax,
-                 os.path.join(outdir,
-                              f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
-        timings["fmax_pdf"] = time.perf_counter() - t0
-
     host_id, nhosts = hosts if hosts else (0, 1)
     t_frag = time.perf_counter()
     if params.subbox_tasks > 1 or nhosts > 1:
@@ -131,6 +124,15 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
 
     written = []
     if write_outputs:
+        # written AFTER fragmentation on purpose: the PDF's histogram
+        # transfer is the first full device sync after the LPT stage, and
+        # doing it here lets the overlapped product transfers ride behind
+        # the sweep instead of serializing before it
+        t0 = time.perf_counter()
+        fmax_pdf(fmax_res.products.Fmax,
+                 os.path.join(outdir,
+                              f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
+        timings["fmax_pdf"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
         def tick(key):
