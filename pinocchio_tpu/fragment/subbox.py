@@ -69,6 +69,21 @@ def _host_copy(params, fmax_result, verbose=False, host_slice=None,
     return fetch_products_host(params, fmax_result, verbose=verbose)
 
 
+def _exchange_mesh(fmax_result, nhosts: int):
+    """The device mesh to run the cross-host exchange over, or None when
+    the products are already on host / unsharded (same availability test
+    as _host_copy's exchange branch)."""
+    if fmax_result.host_products is not None \
+            or isinstance(fmax_result.products.Fmax, np.ndarray):
+        return None
+    sharding = getattr(fmax_result.products.Fmax, "sharding", None)
+    mesh = getattr(sharding, "mesh", None)
+    if (mesh is not None and mesh.devices.size > 1
+            and mesh.devices.size % nhosts == 0):
+        return mesh
+    return None
+
+
 def _host_mem_bytes() -> float:
     """Total physical host memory (the budget ceiling for the sweep's
     gathered arrays)."""
@@ -225,6 +240,114 @@ def boundary_sphere_map(params: Params, geom: SubboxGeometry, quick_res,
     return add, counts
 
 
+def quick_pass_spheres(params: Params, geom: SubboxGeometry, quick_res,
+                       r1, r2) -> np.ndarray:
+    """Boundary-request spheres from one sub-box's quick pass, in GLOBAL
+    grid coordinates: [ns, 4] float32 rows (cx, cy, cz, radius_cells) for
+    every group whose request sphere (radius = BoundaryLayerFactor x
+    R_Lagrangian, update_map build_groups.c:2252-2262) extends beyond the
+    already-shipped turn-0 region.  This is what crosses hosts instead of
+    the reference's per-cell frag_map_update bitmap (distribute.c:689-698)
+    — a few floats per boundary-touching halo instead of bits per cell."""
+    g = quick_res.groups
+    if g.ngroups <= 1:
+        return np.zeros((0, 4), np.float32)
+    mass = np.asarray(g.mass[2:g.ngroups + 1], np.float64)
+    c = quick_res.groups_q[2:g.ngroups + 1].astype(np.int32)
+    size = (params.BoundaryLayerFactor
+            * np.cbrt(mass / 4.188790205) + 0.5).astype(np.int32)
+    # a sphere is needed unless fully inside along EVERY non-pbc dim
+    # (map_update's fast path, groupsweep.c:1499-1505)
+    fully = np.ones(len(mass), bool)
+    for d in range(3):
+        if not geom.pbc[d]:
+            fully &= (c[:, d] - size >= r1[d]) & (c[:, d] + size < r2[d])
+    keep = (mass > 0) & (size > 0) & ~fully
+    N = geom.G[0]
+    out = np.empty((int(keep.sum()), 4), np.float32)
+    out[:, :3] = (c[keep] + np.asarray(geom.stabl, np.int32)) % N
+    out[:, 3] = size[keep]
+    return out
+
+
+def _allgather_spheres(sph: np.ndarray, host_id: int, nhosts: int):
+    """Every process needs every host's sphere list to pack the turn-1
+    exchange.  Multi-process: two small collectives (counts, then padded
+    rows — the MPI_Reduce of map counts, fragment.c:222).  Single-process
+    mocks run each host's exchange separately, so only this host's list
+    matters."""
+    import jax
+    if jax.process_count() == 1:
+        return {host_id: sph}
+    from jax.experimental import multihost_utils as mh
+    counts = np.asarray(mh.process_allgather(
+        np.array([len(sph)], np.int32))).ravel()
+    cap = max(1, int(counts.max()))
+    pad = np.zeros((cap, 4), np.float32)
+    pad[:len(sph)] = sph
+    allp = np.asarray(mh.process_allgather(pad))
+    return {h: allp[h][:counts[h]] for h in range(nhosts)}
+
+
+def _two_turn_exchange(params: Params, cosmo: Cosmology, fmax_result,
+                       all_geoms, my_geoms, host_slice, mesh,
+                       scaledep_gm=None, verbose: bool = False):
+    """The V5 two-turn needed-particle scheme ACROSS hosts
+    (fragment.c:159-316 + distribute.c two-pass maps): turn-0 exchange
+    ships only each host's well-resolved regions + 1-cell rim; local
+    quick sweeps find the halos; their boundary spheres are allgathered
+    and a turn-1 exchange ships exactly the map-selected boundary cells.
+    Cross-host wire bytes scale with the collapsed fraction of the
+    RESOLVED volume plus actual halo boundary spheres, not the full
+    padded volumes.  Returns (fmax_result with merged host products,
+    per-sub-box cell masks for the final sweeps, quick seconds)."""
+    import dataclasses
+
+    from ..parallel.exchange import exchange_products, merge_sparse
+    h, H = host_slice
+    t0 = time.perf_counter()
+    out0 = exchange_products(params, fmax_result, mesh, all_geoms, H,
+                             turn=0, verbose=verbose)
+    sp0 = out0[h]
+    fr0 = dataclasses.replace(fmax_result, host_products=sp0)
+    if sp0.segments is not None:
+        fr0 = dataclasses.replace(fr0, vel_segments=sp0.segments,
+                                  vel_segments_dev=None, seg_sparse=True)
+
+    from .driver import run_fragmentation
+    masks, sph_parts = [], []
+    for geom in my_geoms:
+        r1, r2 = turn0_bounds(geom)
+        base = np.zeros(geom.L, np.uint8)
+        base[r1[0]:r2[0], r1[1]:r2[1], r1[2]:r2[2]] = 1
+        base = base.ravel()
+        if all(geom.pbc):
+            masks.append(base)
+            continue
+        qres = run_fragmentation(params, cosmo, fr0, geom=geom,
+                                 scaledep_gm=scaledep_gm, cell_mask=base,
+                                 quick=True, verbose=False)
+        add, _counts = boundary_sphere_map(params, geom, qres, r1, r2)
+        masks.append(base | add)
+        sph_parts.append(quick_pass_spheres(params, geom, qres, r1, r2))
+    t_quick = time.perf_counter() - t0
+    sph = (np.concatenate(sph_parts) if sph_parts
+           else np.zeros((0, 4), np.float32))
+    spheres = _allgather_spheres(sph, h, H)
+    out1 = exchange_products(params, fmax_result, mesh, all_geoms, H,
+                             turn=1, spheres=spheres, verbose=verbose)
+    sp = merge_sparse(sp0, out1.get(h))
+    fr = dataclasses.replace(fmax_result, host_products=sp)
+    if sp.segments is not None:
+        fr = dataclasses.replace(fr, vel_segments=sp.segments,
+                                 vel_segments_dev=None, seg_sparse=True)
+    if verbose:
+        print(f"  two-turn exchange: {len(sp0.ci)} resolved + "
+              f"{len(sp.ci) - len(sp0.ci)} boundary particle-copies "
+              f"({len(sph)} spheres), quick pass {t_quick:.1f}s")
+    return fr, masks, t_quick
+
+
 def run_fragmentation_two_turn(params: Params, cosmo: Cosmology,
                                fmax_result, geom: SubboxGeometry,
                                plc_geom=None, scaledep_gm=None,
@@ -306,16 +429,36 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
     # these numpy arrays instead of re-fetching full device arrays
     # (the device->host link costs ~seconds/GB here)
     t_copy = time.perf_counter()
-    fmax_result = _host_copy(params, fmax_result, verbose=verbose,
-                             host_slice=host_slice, all_geoms=all_geoms)
-    t_copy = time.perf_counter() - t_copy
+    masks = None
+    t_quick = 0.0
+    if multi_host and two_turn:
+        mesh = _exchange_mesh(fmax_result, host_slice[1])
+        if mesh is not None and any(not all(g.pbc) for g in geoms):
+            # two-turn WIRE protocol: quick sweeps run between the two
+            # exchanges, so only resolved + sphere-selected boundary
+            # cells ever cross hosts (fragment.c:193-316)
+            fmax_result, masks, t_quick = _two_turn_exchange(
+                params, cosmo, fmax_result, all_geoms, geoms, host_slice,
+                mesh, scaledep_gm=scaledep_gm, verbose=verbose)
+    if masks is None:
+        fmax_result = _host_copy(params, fmax_result, verbose=verbose,
+                                 host_slice=host_slice,
+                                 all_geoms=all_geoms)
+    t_copy = time.perf_counter() - t_copy - t_quick
     if verbose:
         g0 = geoms[0]
         print(f"  fragmentation over {len(geoms)} sub-boxes "
               f"{nbox}; box 0: L={g0.L} safe={g0.safe}"
               + (" (two-turn)" if two_turn else ""))
 
-    def one(geom):
+    def one(args):
+        i, geom = args
+        if masks is not None:
+            # quick pass already ran inside the two-turn exchange
+            return run_fragmentation(params, cosmo, fmax_result,
+                                     plc_geom=plc_geom,
+                                     scaledep_gm=scaledep_gm, geom=geom,
+                                     cell_mask=masks[i], verbose=False)
         if two_turn and not all(geom.pbc):
             return run_fragmentation_two_turn(
                 params, cosmo, fmax_result, geom, plc_geom=plc_geom,
@@ -326,10 +469,10 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
                                  verbose=False)
 
     if len(geoms) == 1:
-        results = [one(geoms[0])]
+        results = [one((0, geoms[0]))]
     else:
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            results = list(ex.map(one, geoms))
+            results = list(ex.map(one, enumerate(geoms)))
 
     # ---- merge ----
     catalogs = []
@@ -353,6 +496,7 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
         timings={"total": max(r.timings["total"] for r in results),
                  "transfer": t_copy,
                  **{k: sum(r.timings.get(k, 0.0) for r in results)
+                    + (t_quick if k == "quick" else 0.0)
                     for k in ("sort", "peaks", "sweep", "quick")},
                  "overhead": (sum(r.nstored for r in results)
                               / float(params.GridSize) ** 3)},

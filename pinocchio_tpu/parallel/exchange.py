@@ -46,19 +46,136 @@ from jax.sharding import Mesh, PartitionSpec as P
 from . import pfft
 
 
-def build_host_regions(geoms, nhosts: int, N: int) -> Tuple:
+def build_host_regions(geoms, nhosts: int, N: int,
+                       turn0: bool = False) -> Tuple:
     """Per-host union-of-boxes selection regions from the sub-box
     geometries: host h owns geoms[h::nhosts] (multihost.host_subboxes) and
     needs each one's FULL padded volume [stabl, stabl+Lgwbl) per dim,
-    wrapped mod N (initialization.c:1011-1057 geometry)."""
+    wrapped mod N (initialization.c:1011-1057 geometry).
+
+    turn0: the first-turn map instead — only the well-resolved region
+    plus a 1-cell rim per non-periodic dim (create_map,
+    fragment.c:708-751), the wire analog of subbox.turn0_bounds."""
     regions = []
     for h in range(nhosts):
         boxes = []
         for g in geoms[h::nhosts]:
-            boxes.append(tuple((int(g.stabl[d]) % N, int(g.L[d]))
-                               for d in range(3)))
+            box = []
+            for d in range(3):
+                if turn0 and not g.pbc[d]:
+                    lo = max(0, int(g.safe[d]) - 1)
+                    hi = min(int(g.L[d]), int(g.L[d]) - int(g.safe[d]) + 1)
+                    box.append(((int(g.stabl[d]) + lo) % N, hi - lo))
+                else:
+                    box.append((int(g.stabl[d]) % N, int(g.L[d])))
+            boxes.append(tuple(box))
         regions.append(tuple(boxes))
     return tuple(regions)
+
+
+def _np_member(boxes, gx, gy, gz, N):
+    """Host-side (numpy) analog of _member."""
+    m = np.zeros((len(gx), len(gy), len(gz)), bool)
+    for (x0, lx), (y0, ly), (z0, lz) in boxes:
+        m |= (((gx - x0) % N < lx)[:, None, None]
+              & ((gy - y0) % N < ly)[None, :, None]
+              & ((gz - z0) % N < lz)[None, None, :])
+    return m
+
+
+def _paint_block(spheres_h, padded_boxes, t0_boxes, N, xsl, ysl, zsl):
+    """Paint one shard block [nx,ny,nz] uint8 of host h's turn-1 request
+    map: the union of boundary spheres around its quick-pass halos
+    (update_map, build_groups.c:2246-2318), clipped to its padded sub-box
+    volumes and excluding cells already shipped in turn 0."""
+    nx = xsl.stop - xsl.start
+    ny = ysl.stop - ysl.start
+    nz = zsl.stop - zsl.start
+    out = np.zeros((nx, ny, nz), np.uint8)
+    for cx, cy, cz, s in np.asarray(spheres_h, np.float64):
+        s = int(s)
+        if s <= 0:
+            continue
+        off = np.arange(-s, s)
+        gx = (int(cx) + off) % N
+        gy = (int(cy) + off) % N
+        gz = (int(cz) + off) % N
+        lx = gx - xsl.start
+        ly = gy - ysl.start
+        lz = gz - zsl.start
+        inx = (lx >= 0) & (lx < nx)
+        iny = (ly >= 0) & (ly < ny)
+        inz = (lz >= 0) & (lz < nz)
+        if not (inx.any() and iny.any() and inz.any()):
+            continue
+        sel = (off[:, None, None] ** 2 + off[None, :, None] ** 2
+               + off[None, None, :] ** 2 <= s * s)
+        sel &= inx[:, None, None] & iny[None, :, None] & inz[None, None, :]
+        sel &= _np_member(padded_boxes, gx, gy, gz, N)
+        sel &= ~_np_member(t0_boxes, gx, gy, gz, N)
+        i, j, k = np.nonzero(sel)
+        out[lx[i], ly[j], lz[k]] = 1
+    return out
+
+
+def build_turn1_maps(spheres, geoms, nhosts, N, mesh, decomp):
+    """Device request maps [nhosts, N, N, N] uint8 sharded like the
+    products' real-space layout.  Each process paints only its own
+    devices' shard blocks (make_array_from_callback), so the maps never
+    materialize globally; `spheres` is {host: [ns,4] float32 of global
+    (cx,cy,cz,radius_cells)} — small, allgathered across processes by the
+    caller (the frag_map_update bitmap of distribute.c:689-698 becomes a
+    sphere list on the wire)."""
+    padded = build_host_regions(geoms, nhosts, N)
+    t0 = build_host_regions(geoms, nhosts, N, turn0=True)
+    spec = P(None, *decomp.real_spec)
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+
+    def cb(index):
+        hsl, xsl, ysl, zsl = index
+        blocks = []
+        for h in range(nhosts):
+            sph = spheres.get(h)
+            if sph is None or len(sph) == 0:
+                nx = xsl.stop - xsl.start
+                ny = ysl.stop - ysl.start
+                blocks.append(np.zeros((nx, ny, N), np.uint8))
+            else:
+                blocks.append(_paint_block(sph, padded[h], t0[h], N,
+                                           xsl, ysl, zsl))
+        return np.stack(blocks)
+
+    def norm(index):
+        # normalize the per-shard global index to concrete slices
+        hsl, xsl, ysl, zsl = index
+        fix = lambda sl, n: slice(sl.start or 0, sl.stop if sl.stop  # noqa
+                                  is not None else n)
+        return (fix(hsl, nhosts), fix(xsl, N), fix(ysl, N), fix(zsl, N))
+
+    return jax.make_array_from_callback(
+        (nhosts, N, N, N), sharding, lambda idx: cb(norm(idx)))
+
+
+def merge_sparse(a, b):
+    """Union of two disjoint SparseProducts (turn 0 + turn 1), re-sorted
+    by ascending cell index (the layout sub-box loading expects)."""
+    if b is None or len(b.ci) == 0:
+        return a
+    if len(a.ci) == 0:
+        return b
+    import dataclasses
+    ci = np.concatenate([a.ci, b.ci])
+    order = np.argsort(ci, kind="stable")
+    merge_rows = lambda x, y: np.concatenate([x, y])[order]  # noqa: E731
+    segs = None
+    if a.segments is not None:
+        segs = [{k: merge_rows(sa[k], sb[k]) for k in sa}
+                for sa, sb in zip(a.segments, b.segments)]
+    return dataclasses.replace(
+        a, ci=ci[order],
+        F=np.concatenate([a.F, b.F])[order],
+        vel={k: merge_rows(a.vel[k], b.vel[k]) for k in a.vel},
+        segments=segs, sorted_by="ci")
 
 
 def host_of_device_default(mesh: Mesh, nhosts: int):
@@ -125,7 +242,9 @@ _CAP_BUCKETS = 16
 
 def exchange_products(params, fmax_result, mesh: Mesh, geoms,
                       nhosts: int, host_of_device=None, f16: bool = None,
-                      verbose: bool = False) -> Dict[int, "SparseProducts"]:
+                      verbose: bool = False, turn: int = None,
+                      spheres: Dict[int, np.ndarray] = None,
+                      ) -> Dict[int, "SparseProducts"]:
     """Run the exchange; return {host_id: SparseProducts} for every host
     whose post-exchange shards are addressable from this process (on a
     real cluster: exactly this host; in single-process tests: all).
@@ -133,7 +252,14 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     When fmax_result.vel_segments_dev is set (RECOMPUTE_DISPLACEMENTS on
     a deferred-segment distributed run), the per-segment displacement
     stacks are routed as additional row channels and come back in each
-    host's SparseProducts.segments, aligned row-for-row with .vel."""
+    host's SparseProducts.segments, aligned row-for-row with .vel.
+
+    turn selects the V5 two-turn wire protocol (fragment.c:159-316):
+    None = single turn, ship the FULL padded volumes (the round-2
+    default); 0 = ship only each host's well-resolved regions + 1-cell
+    rim; 1 = ship only the cells in `spheres` ({host: [ns,4] global
+    (cx,cy,cz,r)} boundary spheres around quick-pass halos), clipped to
+    the padded volumes and excluding the turn-0 cells."""
     import time
 
     from ..fmax import SparseProducts
@@ -147,7 +273,11 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     if f16 is None:
         f16 = bool(params.transfer_f16) if params.transfer_f16 is not None \
             else jax.default_backend() not in ("cpu",)
-    regions = build_host_regions(geoms, nhosts, N)
+    regions = build_host_regions(geoms, nhosts, N, turn0=(turn == 0))
+    maps = None
+    if turn == 1:
+        maps = build_turn1_maps(spheres or {}, geoms, nhosts, N, mesh,
+                                decomp)
     if host_of_device is None:
         host_of_device = host_of_device_default(mesh, nhosts)
     host_devs = tuple(
@@ -170,19 +300,29 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     real_spec = decomp.real_spec
     vel_spec = P(None, *real_spec)
 
+    map_spec = P(None, *real_spec)
+
+    def _membership(h, gx, gy, gz, M):
+        if M is not None:
+            return M[h] > 0
+        return _member(regions[h], gx, gy, gz, N)
+
     # ---- 1. capacity: replicated max over (shard, host) of the count
-    def count_local(F):
+    def count_local(F, *M):
+        M = M[0] if M else None
         gx, gy, gz = _shard_coords(decomp, N)
         needed = F >= Flast
-        cs = [jnp.sum(needed & _member(bx, gx, gy, gz, N))
-              for bx in regions]
+        cs = [jnp.sum(needed & _membership(h, gx, gy, gz, M))
+              for h in range(nhosts)]
         c = jnp.max(jnp.stack(cs))
         for ax in mesh.axis_names:
             c = jax.lax.pmax(c, ax)
         return c
 
+    count_ops = (prods.Fmax,) + ((maps,) if maps is not None else ())
+    count_specs = (real_spec,) + ((map_spec,) if maps is not None else ())
     cmax = int(np.asarray(pfft.shard_map_fn(
-        mesh, count_local, (real_spec,), P())(prods.Fmax)))
+        mesh, count_local, count_specs, P())(*count_ops)))
     # per-destination-device slot count, bucketed for program reuse
     dph_min = min(len(d) for d in host_devs)
     shard_cells = (N // decomp.pa) * (N // decomp.pb) * N \
@@ -195,7 +335,11 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
     # ---- 2. pack + route (one device program)
     wire = jnp.float16 if f16 else jnp.float32
 
-    def pack_local(F, *vels):
+    def pack_local(F, *ops):
+        if maps is not None:
+            M, vels = ops[0], ops[1:]
+        else:
+            M, vels = None, ops
         gx, gy, gz = _shard_coords(decomp, N)
         nx, ny, nz = gx.shape[0], gy.shape[0], gz.shape[0]
         needed = (F >= Flast).ravel()
@@ -209,8 +353,8 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
                                 (nx, ny, nz)).ravel()
         Ff = F.ravel().astype(wire)
         vrows = [v.reshape(3, -1).T.astype(wire) for v in vels]
-        for h, boxes in enumerate(regions):
-            m = (_member(boxes, gx, gy, gz, N).ravel() & needed)
+        for h in range(nhosts):
+            m = (_membership(h, gx, gy, gz, M).ravel() & needed)
             i = jnp.cumsum(m.astype(jnp.int32)) - 1
             devs = jnp.asarray(host_devs[h], jnp.int32)
             pos = jnp.where(
@@ -229,9 +373,12 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
             else tuple(mesh.axis_names))
     out_specs = tuple([P(lead, None)] * 3
                       + [P(lead, None, None)] * len(channels))
+    pack_ops = (prods.Fmax,) + ((maps,) if maps is not None else ()) \
+        + tuple(tables)
+    pack_specs = (real_spec,) + ((map_spec,) if maps is not None else ()) \
+        + (vel_spec,) * len(channels)
     packed = pfft.shard_map_fn(
-        mesh, pack_local, (real_spec,) + (vel_spec,) * len(channels),
-        out_specs)(prods.Fmax, *tables)
+        mesh, pack_local, pack_specs, out_specs)(*pack_ops)
 
     # ---- 3. per-host extraction from addressable shards
     dev_pos = {id(d): i for i, d in enumerate(mesh.devices.flat)}
@@ -287,7 +434,8 @@ def exchange_products(params, fmax_result, mesh: Mesh, geoms,
             segments=segs)
     if verbose:
         tot = sum(len(s.ci) for s in out.values())
-        print(f"  exchange: cap {c2}/dev-slot x {p} devices, "
+        lab = "" if turn is None else f" turn {turn}:"
+        print(f"  exchange:{lab} cap {c2}/dev-slot x {p} devices, "
               f"{tot} particle-copies delivered in "
               f"{time.perf_counter() - t0:.1f}s")
     return out

@@ -168,3 +168,48 @@ def test_exchange_routes_recompute_segments(hmf_validation_params,
     union = np.concatenate(names)
     np.testing.assert_array_equal(np.sort(union),
                                   np.sort(full.catalogs[-1].name))
+
+
+def test_two_turn_exchange_catalog_union(sharded64,
+                                         hmf_validation_cosmology):
+    """The two-turn WIRE protocol (turn-0 resolved regions -> quick
+    sweeps -> sphere-selected turn-1) must reproduce the local two-turn
+    multibox catalogs exactly while shipping fewer particle-copies than
+    the single-turn padded-volume exchange."""
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    from pinocchio_tpu.parallel.exchange import exchange_products
+    p, res = sharded64
+    c = hmf_validation_cosmology
+    largest = largest_halo_mass(p, c)
+    geoms, nbox = _geoms(p, c, 4)
+
+    # baseline: single-process local two-turn sweep over all sub-boxes
+    full = run_fragmentation_multibox(p, c, res, nbox,
+                                      largest_mass=largest,
+                                      two_turn=True, verbose=False)
+    names, masses, shipped = [], [], 0
+    for h in range(2):
+        part = run_fragmentation_multibox(
+            p, c, res, nbox, largest_mass=largest, two_turn=True,
+            host_slice=(h, 2), verbose=False)
+        names.append(part.catalogs[-1].name)
+        masses.append(part.catalogs[-1].mass)
+        shipped += part.nstored
+
+    union = np.concatenate(names)
+    assert len(np.unique(union)) == len(union)
+    np.testing.assert_array_equal(np.sort(union),
+                                  np.sort(full.catalogs[-1].name))
+    o_full = np.argsort(full.catalogs[-1].name)
+    o_un = np.argsort(union)
+    np.testing.assert_array_equal(np.concatenate(masses)[o_un],
+                                  full.catalogs[-1].mass[o_full])
+
+    # the wire carries fewer copies than the padded-volume exchange
+    mesh = res.products.Fmax.sharding.mesh
+    single = exchange_products(p, res, mesh, geoms, 2, f16=False)
+    padded_copies = sum(len(single[h].ci) for h in range(2))
+    out0 = exchange_products(p, res, mesh, geoms, 2, turn=0, f16=False)
+    turn0_copies = sum(len(out0[h].ci) for h in range(2))
+    assert turn0_copies < padded_copies
