@@ -315,21 +315,27 @@ def _two_turn_exchange(params: Params, cosmo: Cosmology, fmax_result,
                                   vel_segments_dev=None, seg_sparse=True)
 
     from .driver import run_fragmentation
-    masks, sph_parts = [], []
-    for geom in my_geoms:
+
+    def quick_one(geom):
         r1, r2 = turn0_bounds(geom)
         base = np.zeros(geom.L, np.uint8)
         base[r1[0]:r2[0], r1[1]:r2[1], r1[2]:r2[2]] = 1
         base = base.ravel()
         if all(geom.pbc):
-            masks.append(base)
-            continue
+            return base, None
         qres = run_fragmentation(params, cosmo, fr0, geom=geom,
                                  scaledep_gm=scaledep_gm, cell_mask=base,
                                  quick=True, verbose=False)
         add, _counts = boundary_sphere_map(params, geom, qres, r1, r2)
-        masks.append(base | add)
-        sph_parts.append(quick_pass_spheres(params, geom, qres, r1, r2))
+        return base | add, quick_pass_spheres(params, geom, qres, r1, r2)
+
+    if len(my_geoms) == 1:
+        quick_out = [quick_one(my_geoms[0])]
+    else:
+        with ThreadPoolExecutor() as ex:
+            quick_out = list(ex.map(quick_one, my_geoms))
+    masks = [m for m, _ in quick_out]
+    sph_parts = [s for _, s in quick_out if s is not None]
     t_quick = time.perf_counter() - t0
     sph = (np.concatenate(sph_parts) if sph_parts
            else np.zeros((0, 4), np.float32))
