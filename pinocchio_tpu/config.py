@@ -90,6 +90,8 @@ class Params:
     fr0: float = 1.e-8                   # -DFR0
     use_sim_params: bool = False         # -DUSE_SIM_PARAMS calibration set
     snapshot: bool = False               # -DSNAPSHOT products (zacc, group ID)
+    add_rmax_to_snapshot: bool = False   # -DADD_RMAX_TO_SNAPSHOT: RMAX block
+                                         # in the timeless snapshot
     light_output: bool = False           # -DLIGHT_OUTPUT: 48-byte binary
                                          # catalog records (no npart/pad),
                                          # auto-detected by ReadPinocchio5

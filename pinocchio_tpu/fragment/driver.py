@@ -335,9 +335,16 @@ class FragmentResult:
     nstored: int
     plc: Optional[PlcResult] = None
     # per stored particle (sorted by descending Fmax, see `pos`):
-    particle_pos: np.ndarray = None      # linear cell index
+    particle_pos: np.ndarray = None      # linear cell index (LOCAL sub-box
+                                         # order; GLOBAL grid order after the
+                                         # multibox merge)
     particle_group: np.ndarray = None    # final group id (1 = filament)
     particle_zacc: np.ndarray = None     # accretion redshift or -1
+    # global group NAME per stored particle (the reference's snapshot GRUP
+    # semantics: frag[iz].group_ID = groups[group_ID[iz]].name with
+    # groups[FILAMENT].name = 1, build_groups.c:968-973); filled only when
+    # params.WriteTimelessSnapshot
+    particle_grup: np.ndarray = None
     timings: Dict[str, float] = field(default_factory=dict)
     # advice: the PredPeakFactor that would have been enough
     # (fragment.c:362,477: max peaks per task * 6 / particles per task)
@@ -824,6 +831,17 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             print(f"  PLC: stored {nplc} halo crossings"
                   + (" (OVERFLOW)" if plc_result.overflow else ""))
 
+    # SNAPSHOT GRUP semantics: map the local group index to the group's
+    # global NAME (peak particle ID), with groups[0].name = 0 and
+    # groups[FILAMENT].name = FILAMENT (build_groups.c:968-973)
+    particle_grup = None
+    if params.WriteTimelessSnapshot and not quick:
+        names = g_name[:ng + 1].copy()
+        names[0] = 0
+        if ng >= FILAMENT:
+            names[FILAMENT] = FILAMENT
+        particle_grup = names[gop]
+
     timings["total"] = time.perf_counter() - t_all
     if verbose:
         print(f"  sweep: {timings['sweep']:.2f}s; peaks {counters[0]}, "
@@ -833,6 +851,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                           counters=counters, npeaks=npeaks, nstored=n,
                           plc=plc_result, particle_pos=pos,
                           particle_group=gop, particle_zacc=zacc,
+                          particle_grup=particle_grup,
                           timings=timings,
                           best_pred_peak_factor=npeaks * 6.0 / ncells,
                           groups_q=g_q[:3 * (ng + 1)].reshape(-1, 3))

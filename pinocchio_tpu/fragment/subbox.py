@@ -390,6 +390,35 @@ def run_fragmentation_two_turn(params: Params, cosmo: Cosmology,
     return res
 
 
+def _merge_back(geoms, results, N):
+    """distribute_back analog (distribute.c:718-948): collect each
+    sub-box's per-particle zacc / group name for its WELL-RESOLVED region
+    (boundary-layer copies are dropped, keep_data_back's good_particle
+    test, distribute.c:813-817) and re-express positions in GLOBAL grid
+    order so the timeless snapshot can scatter them (SNAPSHOT products)."""
+    pos_parts, zacc_parts, grup_parts = [], [], []
+    for geom, res in zip(geoms, results):
+        if res.particle_pos is None or res.particle_grup is None:
+            return None, None, None
+        pos = res.particle_pos.astype(np.int64)
+        Ly, Lz = geom.L[1], geom.L[2]
+        k = pos % Lz
+        j = (pos // Lz) % Ly
+        i = pos // (Lz * Ly)
+        good = np.ones(len(pos), bool)
+        for d, c in ((0, i), (1, j), (2, k)):
+            if geom.safe[d]:
+                good &= (c >= geom.safe[d]) & (c < geom.L[d] - geom.safe[d])
+        gi = (i[good] + geom.stabl[0]) % N
+        gj = (j[good] + geom.stabl[1]) % N
+        gk = (k[good] + geom.stabl[2]) % N
+        pos_parts.append((gi * N + gj) * N + gk)
+        zacc_parts.append(res.particle_zacc[good])
+        grup_parts.append(res.particle_grup[good])
+    return (np.concatenate(pos_parts), np.concatenate(zacc_parts),
+            np.concatenate(grup_parts))
+
+
 def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
                                fmax_result, nbox, plc_geom=None,
                                scaledep_gm=None, largest_mass=None,
@@ -508,6 +537,12 @@ def run_fragmentation_multibox(params: Params, cosmo: Cosmology,
                               / float(params.GridSize) ** 3)},
         best_pred_peak_factor=max(r.best_pred_peak_factor
                                   for r in results))
+    if params.WriteTimelessSnapshot:
+        # distribute_back analog: per-particle zacc / group name in
+        # GLOBAL grid order for the timeless snapshot (SNAPSHOT products)
+        (merged.particle_pos, merged.particle_zacc,
+         merged.particle_grup) = _merge_back(geoms, results,
+                                             params.GridSize)
     if results[0].plc is not None:
         from .driver import PlcResult
         merged.plc = PlcResult(

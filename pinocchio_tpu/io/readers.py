@@ -179,19 +179,29 @@ def read_mf(path: str) -> np.ndarray:
 
 def read_timeless_snapshot(path: str):
     """Timeless snapshot -> dict of typed per-particle fields
-    (write_timeless_snapshot layout, write_snapshot.c:207-342): ID, FMAX,
-    the LPT displacement stacks, ZACC, group membership; plus the parsed
-    Gadget header."""
-    from .snapshot import read_snapshot
+    (write_timeless_snapshot layout, write_snapshot.c:207-342): ID, RMAX,
+    FMAX, the LPT displacement stacks, ZACC, group membership; plus the
+    parsed Gadget header.  Field dtypes come from the INFO block, so both
+    64-bit (LLONG, this engine) and 32-bit (LONG, the reference without
+    LONGIDS) ID/GRUP layouts parse."""
+    from .snapshot import INFO_ENTRY, read_snapshot
     header, blocks = read_snapshot(path)
+    info = np.frombuffer(blocks["INFO"], INFO_ENTRY)
+    typemap = {"LLONG": "<u8", "LONG": "<u4", "FLOAT": "<f4",
+               "FLOATN": "<f4", "DOUBLE": "<f8"}
+    signed = {"GRUP": {"LONG": "<i4"}, "RMAX": {"LONG": "<i4"}}
     typed = {}
-    spec = {"ID  ": ("<u4", 1), "FMAX": ("<f4", 1), "VEL ": ("<f4", 3),
-            "VEL2": ("<f4", 3), "VL31": ("<f4", 3), "VL32": ("<f4", 3),
-            "ZACC": ("<f4", 1), "GRUP": ("<i4", 1)}
-    for label, (dt, ncomp) in spec.items():
-        if label in blocks:
-            a = np.frombuffer(blocks[label], dt)
-            typed[label.strip()] = a.reshape(-1, ncomp) if ncomp > 1 else a
+    for e in info:
+        label = e["name"].decode("ascii")
+        typ = e["type"].decode("ascii").strip()
+        if label == "HEAD" or label not in blocks:
+            continue
+        dt = signed.get(label.strip(), {}).get(typ) or typemap.get(typ)
+        if dt is None:
+            continue
+        a = np.frombuffer(blocks[label], dt)
+        ncomp = int(e["ndim"])
+        typed[label.strip()] = a.reshape(-1, ncomp) if ncomp > 1 else a
     return header, typed
 
 

@@ -87,7 +87,9 @@ def _write_snapshot(path, params: Params, z: float,
 
 
 def _particle_ids(N: int) -> np.ndarray:
-    return np.arange(1, N ** 3 + 1, dtype=np.uint32)
+    # LONGIDS is always on (README): 64-bit IDs, INFO type LLONG
+    # (initialize_ID, write_snapshot.c:547-560)
+    return np.arange(1, N ** 3 + 1, dtype=np.uint64)
 
 
 def write_lpt_snapshot(params: Params, cosmo: Cosmology, fmax_result,
@@ -117,7 +119,7 @@ def write_lpt_snapshot(params: Params, cosmo: Cosmology, fmax_result,
     path = os.path.join(
         directory, f"pinocchio.{z:6.4f}.{params.RunFlag}.LPT_snapshot.out")
     return _write_snapshot(path, params, z, [
-        ("ID  ", "LONG    ", 1, _particle_ids(N)),
+        ("ID  ", "LLONG   ", 1, _particle_ids(N)),
         ("POS ", "FLOATN  ", 3,
          np.ascontiguousarray(pos.T, np.float32)),
         ("VEL ", "FLOATN  ", 3, np.ascontiguousarray(v.T, np.float32))])
@@ -129,7 +131,7 @@ def write_density_snapshot(params: Params, density: np.ndarray,
     N = params.GridSize
     path = os.path.join(directory, f"pinocchio.{params.RunFlag}.density0.out")
     return _write_snapshot(path, params, params.output_z[-1], [
-        ("ID  ", "LONG    ", 1, _particle_ids(N)),
+        ("ID  ", "LLONG   ", 1, _particle_ids(N)),
         ("DENS", "FLOAT   ", 1,
          np.ascontiguousarray(density.ravel(), np.float32))])
 
@@ -137,30 +139,59 @@ def write_density_snapshot(params: Params, density: np.ndarray,
 def write_timeless_snapshot(params: Params, fmax_result, frag_result,
                             directory=".") -> str:
     """Timeless snapshot: per-particle fmax products + accretion redshift +
-    group membership (write_timeless_snapshot, write_snapshot.c:207-342)."""
+    group membership (write_timeless_snapshot, write_snapshot.c:207-342).
+
+    GRUP carries the GLOBAL group name (peak particle ID) per particle
+    with 0 = uncollapsed / not in a group and 1 = filament, following the
+    reference (build_groups.c:968-973) — but as 64-bit LLONG because
+    LONGIDS is always on here (the reference truncates names to int).
+    An RMAX block (the smoothing-radius index where Fmax was attained) is
+    added when params.add_rmax_to_snapshot (-DADD_RMAX_TO_SNAPSHOT).
+
+    Refuses to write when the fragmentation result carries no per-particle
+    products (e.g. a multibox merge run without WriteTimelessSnapshot):
+    silently writing ZACC=-1/GRUP=0 would corrupt downstream analysis.
+    """
     N = params.GridSize
+    if frag_result is None or frag_result.particle_pos is None:
+        raise ValueError(
+            "timeless snapshot requested but the fragmentation result "
+            "carries no per-particle products; run with "
+            "WriteTimelessSnapshot=True so the sweep keeps zacc/group "
+            "per particle")
+    if frag_result.particle_grup is None:
+        raise ValueError(
+            "timeless snapshot: particle group names absent (the run was "
+            "fragmented without WriteTimelessSnapshot=True)")
     F = np.asarray(fmax_result.products.Fmax).ravel()
     vel = {k: np.ascontiguousarray(np.asarray(v).reshape(3, -1).T,
                                    np.float32)
            for k, v in fmax_result.products.vel.items()}
 
-    # scatter the sweep's zacc / group id back to grid order
+    # scatter the sweep's zacc / group name back to grid order
+    # (single-box particle_pos is already the global cell index; the
+    # multibox merge re-expressed positions globally, _merge_back)
     zacc = np.full(N ** 3, -1.0, np.float32)
-    grup = np.zeros(N ** 3, np.int32)
-    if frag_result is not None and frag_result.particle_pos is not None:
-        zacc[frag_result.particle_pos] = frag_result.particle_zacc
-        grup[frag_result.particle_pos] = frag_result.particle_group
+    grup = np.zeros(N ** 3, np.uint64)
+    pos = frag_result.particle_pos
+    zacc[pos] = frag_result.particle_zacc
+    grup[pos] = frag_result.particle_grup
 
-    blocks = [("ID  ", "LONG    ", 1, _particle_ids(N)),
-              ("FMAX", "FLOAT   ", 1, F.astype(np.float32)),
-              ("VEL ", "FLOATN  ", 3, vel["v1"])]
+    blocks = [("ID  ", "LLONG   ", 1, _particle_ids(N))]
+    if params.add_rmax_to_snapshot:
+        # initialize_RMAX (write_snapshot.c:830-852)
+        blocks.append(("RMAX", "LONG    ", 1,
+                       np.asarray(fmax_result.products.Rmax)
+                       .ravel().astype(np.int32)))
+    blocks += [("FMAX", "FLOAT   ", 1, F.astype(np.float32)),
+               ("VEL ", "FLOATN  ", 3, vel["v1"])]
     if "v2" in vel:
         blocks.append(("VEL2", "FLOATN  ", 3, vel["v2"]))
     if "v31" in vel:
         blocks.append(("VL31", "FLOATN  ", 3, vel["v31"]))
         blocks.append(("VL32", "FLOATN  ", 3, vel["v32"]))
     blocks.append(("ZACC", "FLOAT   ", 1, zacc))
-    blocks.append(("GRUP", "LONG    ", 1, grup))
+    blocks.append(("GRUP", "LLONG   ", 1, grup))
 
     path = os.path.join(directory,
                         f"pinocchio.{params.RunFlag}.t_snapshot.out")

@@ -198,10 +198,18 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                                         frag_res.plc.nz, outdir))
             tick("io_plc")
         if params.WriteTimelessSnapshot:
-            from .io.snapshot import write_timeless_snapshot
-            written.append(write_timeless_snapshot(params, fmax_res,
-                                                   frag_res, outdir))
-            tick("io_snapshot")
+            if nhosts > 1:
+                # each host holds only its sub-boxes' particles and its
+                # chips' dense products: a global-grid snapshot cannot be
+                # assembled per host (the reference gathers through
+                # collector tasks, write_snapshot.c:400-506)
+                print("  multi-host: timeless snapshot skipped (merge the "
+                      "per-host products offline)")
+            else:
+                from .io.snapshot import write_timeless_snapshot
+                written.append(write_timeless_snapshot(params, fmax_res,
+                                                       frag_res, outdir))
+                tick("io_snapshot")
         if nhosts > 1:
             try:
                 os.rmdir(io_dir)

@@ -31,7 +31,7 @@ def test_lpt_snapshot_roundtrip(hmf_validation_params,
     # velocity rms of LCDM ICs at z=0: hundreds of km/s (over sqrt(a)=1)
     rms = np.sqrt((vel.astype(np.float64) ** 2).mean())
     assert 100.0 < rms < 1000.0, rms
-    ids = np.frombuffer(blocks["ID  "], "<u4")
+    ids = np.frombuffer(blocks["ID  "], "<u8")   # LONGIDS always on
     assert ids[0] == 1 and ids[-1] == N ** 3
 
 
@@ -216,22 +216,90 @@ def test_multifile_readers(hmf_validation_params, hmf_validation_cosmology,
 def test_timeless_snapshot_reader(hmf_validation_params,
                                   hmf_validation_cosmology, fmax_result,
                                   tmp_path):
+    import dataclasses
     from pinocchio_tpu.fragment.driver import run_fragmentation
     from pinocchio_tpu.io.readers import read_timeless_snapshot
     from pinocchio_tpu.io.snapshot import write_timeless_snapshot
-    p = hmf_validation_params
+    p = dataclasses.replace(hmf_validation_params,
+                            WriteTimelessSnapshot=True,
+                            add_rmax_to_snapshot=True)
     frag = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
                              verbose=False)
     path = write_timeless_snapshot(p, fmax_result, frag, str(tmp_path))
     header, fields = read_timeless_snapshot(path)
     N = p.GridSize
     assert fields["ID"][0] == 1 and len(fields["ID"]) == N ** 3
+    assert fields["ID"].dtype == np.uint64   # LONGIDS always on
     np.testing.assert_allclose(
         fields["FMAX"], np.asarray(fmax_result.products.Fmax).ravel())
     assert fields["VEL"].shape == (N ** 3, 3)
-    assert fields["GRUP"].max() > 1          # real group ids present
+    # GRUP = global group NAME (peak particle ID), 64-bit
+    assert fields["GRUP"].dtype == np.uint64
+    assert fields["GRUP"].max() > 1          # real group names present
+    # group names must be valid particle IDs or 0/1
+    assert fields["GRUP"].max() <= N ** 3
+    # RMAX block (add_rmax_to_snapshot): smoothing-index of the Fmax max
+    assert fields["RMAX"].dtype == np.int32
+    assert (fields["RMAX"] >= -1).all()
+    assert fields["RMAX"].max() >= 1
     # zacc only set for stored (collapsed) particles
     assert (fields["ZACC"] >= -1.0).all()
+
+
+def test_timeless_snapshot_refuses_without_products(
+        hmf_validation_params, hmf_validation_cosmology, fmax_result,
+        tmp_path):
+    """The writer must refuse (not silently zero) when the fragmentation
+    result lacks per-particle products (VERDICT r2 missing #2)."""
+    import dataclasses
+    import pytest
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io.snapshot import write_timeless_snapshot
+    p = hmf_validation_params     # WriteTimelessSnapshot defaults False
+    frag = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                             verbose=False)
+    assert frag.particle_grup is None
+    with pytest.raises(ValueError):
+        write_timeless_snapshot(p, fmax_result, frag, str(tmp_path))
+
+
+def test_timeless_snapshot_multibox(hmf_validation_params,
+                                    hmf_validation_cosmology, fmax_result,
+                                    tmp_path):
+    """Multibox ZACC/GRUP merge (distribute_back analog): the sub-box
+    decomposition must reproduce the single-box snapshot fields up to
+    boundary-layer truncation of the largest halos."""
+    import dataclasses
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+    from pinocchio_tpu.io.readers import read_timeless_snapshot
+    from pinocchio_tpu.io.snapshot import write_timeless_snapshot
+    p = dataclasses.replace(hmf_validation_params,
+                            WriteTimelessSnapshot=True)
+    cosmo = hmf_validation_cosmology
+    frag1 = run_fragmentation(p, cosmo, fmax_result, verbose=False)
+    fragM = run_fragmentation_multibox(p, cosmo, fmax_result, (2, 2, 1),
+                                       verbose=False)
+    assert fragM.particle_pos is not None
+    os.makedirs(tmp_path / "sM", exist_ok=True)
+    os.makedirs(tmp_path / "s1", exist_ok=True)
+    p1 = write_timeless_snapshot(p, fmax_result, frag1, str(tmp_path / "s1"))
+    pM = write_timeless_snapshot(p, fmax_result, fragM, str(tmp_path / "sM"))
+    _, f1 = read_timeless_snapshot(p1)
+    _, fM = read_timeless_snapshot(pM)
+    # every particle collapsed in one run is collapsed in the other
+    in1 = f1["ZACC"] > -1.0
+    inM = fM["ZACC"] > -1.0
+    agree_membership = float((in1 == inM).mean())
+    assert agree_membership > 0.99
+    both = in1 & inM
+    # same accretion redshift and same (global) group name for the
+    # overwhelming majority; differences are boundary-layer halos
+    zagree = float((np.abs(f1["ZACC"][both] - fM["ZACC"][both])
+                    < 1e-4).mean())
+    gagree = float((f1["GRUP"][both] == fM["GRUP"][both]).mean())
+    assert zagree > 0.95, zagree
+    assert gagree > 0.95, gagree
 
 
 def test_validate_fits_script(hmf_validation_params,
