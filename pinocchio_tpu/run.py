@@ -371,15 +371,18 @@ def main(argv=None):
                     "jax.distributed.initialize")
     args = ap.parse_args(argv)
 
+    # platform config FIRST (pure jax.config updates, no device use):
+    # initialize_cluster touches the backend, which would otherwise lock
+    # in the default platform before --platform cpu could take effect
+    from .backend import setup
+    setup(platform=args.platform)
+
     hosts = None
     if args.hosts and args.hosts > 1:
         # must run BEFORE any backend/device use (MPI_Init analog)
         from .parallel.multihost import initialize_cluster
         hosts = initialize_cluster(args.hosts, args.coordinator,
                                    args.host_id)
-
-    from .backend import setup
-    setup(platform=args.platform)
 
     overrides = {}
     if args.norad:

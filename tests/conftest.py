@@ -19,6 +19,12 @@ import pytest  # noqa: E402
 REFERENCE = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test (subprocess "
+        "cluster boots, big-grid regressions)")
+
+
 @pytest.fixture(scope="session")
 def hmf_validation_params():
     from pinocchio_tpu.config import read_parameter_file

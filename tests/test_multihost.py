@@ -98,6 +98,73 @@ def test_mocked_multihost_catalog_union(hmf_validation_params,
                                   np.sort(full.catalogs[-1].name))
 
 
+@pytest.mark.slow
+def test_real_two_process_cluster(tmp_path):
+    """Boot a REAL 2-process jax.distributed cluster on CPU (the
+    MPI_Init analog, pinocchio.c:41-52) and run the full multi-host
+    pipeline through it: sharded fmax over the global 8-device mesh
+    (cross-process gloo collectives in the FFT all_to_alls), the packed
+    sparse cross-host exchange, per-host sub-box sweeps, .out.<h> catalog
+    chunks — then assert the merged halo set equals an in-process
+    single-host run of the same configuration (VERDICT r2 item 8)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free local port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    multi = tmp_path / "multi"
+    os.makedirs(multi)
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    procs = []
+    for h in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "pinocchio_tpu.run",
+             "/root/reference/HMF_Validation/parameter_file",
+             "--norad", "--grid", "64", "--subboxes", "2", "--chips", "8",
+             "--platform", "cpu", "--hosts", "2", "--host-id", str(h),
+             "--coordinator", f"localhost:{port}",
+             "--outdir", str(multi)],
+            cwd="/root/repo", env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for h, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=600)
+        outs.append(out)
+        assert pr.returncode == 0, f"host {h} failed:\n{out}"
+    assert "[cluster] process 0/2 up" in outs[0]
+    assert "[cluster] process 1/2 up" in outs[1]
+
+    # the same configuration in-process, single host, same 8-device mesh
+    import dataclasses
+    from pinocchio_tpu.config import read_parameter_file
+    from pinocchio_tpu.run import run_pipeline
+    p = read_parameter_file("/root/reference/HMF_Validation/parameter_file",
+                            norad=True)
+    p = dataclasses.replace(p, GridSize=64, subbox_tasks=2)
+    single = tmp_path / "single"
+    os.makedirs(single)
+    run_pipeline(p, outdir=str(single), verbose=False, chips=8)
+
+    from pinocchio_tpu.io import readers
+    base = "pinocchio.0.0000.test.catalog.out"
+    a = readers.read_catalog(str(single / base))
+    chunks = [readers.read_catalog(str(multi / f"{base}.{h}"))
+              for h in range(2)]
+    names_multi = np.concatenate([c["name"] for c in chunks])
+    assert len(np.unique(names_multi)) == len(names_multi)
+    assert len(a) == len(names_multi)
+    np.testing.assert_array_equal(np.sort(a["name"]),
+                                  np.sort(names_multi))
+
+
 def test_merge_chunks_tool(hmf_validation_params, tmp_path):
     """Two mocked-host run_pipeline invocations write .out.<h> chunks;
     scripts/merge_chunks.py must reassemble the single-process files and
