@@ -507,9 +507,10 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
     pending_deferred = sparse_now and N >= STAGED_LPT_THRESHOLD
     # a sparse run ships only compacted rows to fragmentation; the dense
     # [3,N,N,N] device stacks are needed afterwards ONLY by the snapshot
-    # and dump writers — freeing them as each stack's rows are gathered
-    # keeps the 512^3+ staged peak inside HBM (4 stacks = 6.5 GB there)
-    keep_dense_vel = (not sparse_now or params.DumpProducts
+    # writer — freeing them as each stack's rows are gathered keeps the
+    # 512^3+ staged peak inside HBM (4 stacks = 6.5 GB there).  Dumps are
+    # sparse per-host chunks now (io/dumps.py) and ride the same rows.
+    keep_dense_vel = (not sparse_now
                       or params.WriteTimelessSnapshot
                       or keep_dense_products)
     z0 = params.zlast if not params.recompute_displacements \

@@ -93,11 +93,11 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                             verbose=verbose)
     timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
 
+    host_id, nhosts = hosts if hosts else (0, 1)
     if params.DumpProducts and write_outputs \
             and not params.ReadProductsFromDumps:
-        io_dumps.dump_products(params, fmax_res, outdir)
-
-    host_id, nhosts = hosts if hosts else (0, 1)
+        io_dumps.dump_products(params, fmax_res, outdir,
+                               hosts=(host_id, nhosts))
     t_frag = time.perf_counter()
     if params.subbox_tasks > 1 or nhosts > 1:
         from .fragment.subbox import choose_nbox, run_fragmentation_multibox
@@ -129,9 +129,13 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         # doing it here lets the overlapped product transfers ride behind
         # the sweep instead of serializing before it
         t0 = time.perf_counter()
-        fmax_pdf(fmax_res.products.Fmax,
-                 os.path.join(outdir,
-                              f"pinocchio.{params.RunFlag}.FmaxPDF.out"))
+        if fmax_res.products.Fmax is not None:
+            # absent after a sparse-dump restart (the PDF was already
+            # written by the dumping run)
+            fmax_pdf(fmax_res.products.Fmax,
+                     os.path.join(outdir,
+                                  f"pinocchio.{params.RunFlag}"
+                                  f".FmaxPDF.out"))
         timings["fmax_pdf"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 

@@ -47,10 +47,13 @@ def test_density_snapshot(hmf_validation_params, fmax_result, tmp_path):
     np.testing.assert_allclose(d.std(), dens.std(), rtol=1e-5)
 
 
-def test_dump_restart_roundtrip(hmf_validation_params, fmax_result,
-                                tmp_path):
+def test_dump_restart_roundtrip_dense(hmf_validation_params, fmax_result,
+                                      tmp_path):
+    """Dense full-grid dump (kept for WriteTimelessSnapshot restarts)."""
+    import dataclasses
     from pinocchio_tpu.io import dumps
-    p = hmf_validation_params
+    p = dataclasses.replace(hmf_validation_params,
+                            WriteTimelessSnapshot=True)
     dumps.dump_products(p, fmax_result, str(tmp_path))
     res2 = dumps.read_dumps(p, str(tmp_path))
     np.testing.assert_array_equal(np.asarray(res2.products.Fmax),
@@ -58,10 +61,100 @@ def test_dump_restart_roundtrip(hmf_validation_params, fmax_result,
     np.testing.assert_array_equal(np.asarray(res2.products.vel["v2"]),
                                   np.asarray(fmax_result.products.vel["v2"]))
     # mismatching config must be rejected
-    import dataclasses
     p_bad = dataclasses.replace(p, RandomSeed=1)
     with pytest.raises(ValueError):
         dumps.read_dumps(p_bad, str(tmp_path))
+
+
+def test_dump_restart_sparse(hmf_validation_params,
+                             hmf_validation_cosmology, fmax_result,
+                             tmp_path):
+    """Default dump format: sparse needed-particle chunks.  A restarted
+    fragmentation must reproduce the direct run exactly, and the dense
+    N^3 arrays must never be written."""
+    import os
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io import dumps
+    p = hmf_validation_params
+    dumps.dump_products(p, fmax_result, str(tmp_path))
+    ddir = tmp_path / dumps.DUMP_DIR
+    assert (ddir / "products.0.npz").exists()
+    assert not (ddir / "products.npz").exists()
+    # chunk size ~ needed particles, nowhere near N^3 * 4 fields
+    nbytes = os.path.getsize(ddir / "products.0.npz")
+    F = np.asarray(fmax_result.products.Fmax)
+    needed = int((F >= p.Flast).sum())
+    assert nbytes < 1.2 * needed * (8 + 4 + 4 * 12) + 1e6
+    res2 = dumps.read_dumps(p, str(tmp_path))
+    assert res2.host_products is not None
+    f0 = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                           verbose=False)
+    f1 = run_fragmentation(p, hmf_validation_cosmology, res2,
+                           verbose=False)
+    assert np.array_equal(f0.counters, f1.counters)
+    for c0, c1 in zip(f0.catalogs, f1.catalogs):
+        assert np.array_equal(c0.name, c1.name)
+    # sparse dump + snapshot restart must refuse (dense data absent)
+    import dataclasses
+    p_snap = dataclasses.replace(p, WriteTimelessSnapshot=True)
+    with pytest.raises(ValueError):
+        dumps.read_dumps(p_snap, str(tmp_path))
+
+
+def test_dump_sparse_multihost_chunks(hmf_validation_params,
+                                      hmf_validation_cosmology,
+                                      fmax_result, tmp_path):
+    """Per-host chunk dump + union restart (mocked hosts overlap fully on
+    one process; the reader dedups by cell)."""
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io import dumps
+    p = hmf_validation_params
+    for h in range(2):
+        dumps.dump_products(p, fmax_result, str(tmp_path), hosts=(h, 2))
+    assert (tmp_path / dumps.DUMP_DIR / "products.1.npz").exists()
+    res2 = dumps.read_dumps(p, str(tmp_path))
+    F = np.asarray(fmax_result.products.Fmax).ravel()
+    want = np.flatnonzero(F >= p.Flast)
+    np.testing.assert_array_equal(res2.host_products.ci, want)
+    f0 = run_fragmentation(p, hmf_validation_cosmology, fmax_result,
+                           verbose=False)
+    f1 = run_fragmentation(p, hmf_validation_cosmology, res2,
+                           verbose=False)
+    assert np.array_equal(f0.counters, f1.counters)
+
+
+def test_dump_sparse_staged_recompute(hmf_validation_params,
+                                      hmf_validation_cosmology, tmp_path):
+    """The 512^3-shaped path (staged LPT + sparse overlapped fetch +
+    sparse RECOMPUTE segments) through dump/restart, via the lowered
+    threshold (VERDICT r2 item 9)."""
+    import dataclasses
+    from pinocchio_tpu import fmax as fmax_mod
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    from pinocchio_tpu.io import dumps
+    N = 32
+    p = dataclasses.replace(hmf_validation_params, GridSize=N,
+                            sparse_transfer=True, transfer_f16=False,
+                            recompute_displacements=True)
+    c = hmf_validation_cosmology
+    saved = fmax_mod.STAGED_LPT_THRESHOLD
+    try:
+        fmax_mod.STAGED_LPT_THRESHOLD = N
+        res = fmax_mod.run_fmax(p, c, verbose=False)
+        # dense stacks freed on the staged sparse path
+        assert all(v is None for v in res.products.vel.values())
+        dumps.dump_products(p, res, str(tmp_path))
+        res2 = dumps.read_dumps(p, str(tmp_path))
+        assert res2.vel_segments is not None and res2.seg_sparse
+        assert len(res2.vel_segments) == len(p.output_z)
+        f0 = run_fragmentation(p, c, res, verbose=False)
+        f1 = run_fragmentation(p, c, res2, verbose=False)
+        assert np.array_equal(f0.counters, f1.counters)
+        for c0, c1 in zip(f0.catalogs, f1.catalogs):
+            assert np.array_equal(c0.name, c1.name)
+            np.testing.assert_allclose(c0.v, c1.v, atol=1e-4)
+    finally:
+        fmax_mod.STAGED_LPT_THRESHOLD = saved
 
 
 def test_read_reference_ascii_catalog():
