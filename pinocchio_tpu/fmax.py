@@ -131,56 +131,251 @@ def _compact_idx(F, Flast, cap):
     return idx, Fs
 
 
+N_CHUNKS = 16       # d2h chunks per displacement table (watermark grain)
+_STREAM_TEST_DELAY = 0.0    # tests inject per-chunk latency here
+
+
+def _chunk_bounds(cap: int, k: int = N_CHUNKS):
+    return [cap * i // k for i in range(k + 1)]
+
+
 @partial(jax.jit, static_argnames=("f16",))
 def _gather_rows(v, idx, f16: bool):
     """Needed rows of one displacement stack, [cap, 3] wire layout: the
     valid entries are a PREFIX (idx is (-F, cell)-sorted with non-needed
-    keyed last), so the host-side trim is a contiguous slice + one
-    vectorized upcast instead of per-component boolean gathers."""
+    keyed last), so the host side never re-sorts — and the rows cross the
+    link in EXACTLY the sweep's processing order, which is what lets the
+    sweep start on a delivered prefix (rows_ready watermark)."""
     safe = jnp.maximum(idx, 0)
     rows = v.reshape(3, -1)[:, safe].T
     return rows.astype(jnp.float16) if f16 else rows
 
 
-class _LazyVel(dict):
-    """Displacement tables that materialize on first access: sub-box
-    selection (which needs only ci+F) starts while the much larger
-    displacement rows are still crossing the link."""
+def _chunk_rows(rows):
+    """Split a [cap, 3] device array into N_CHUNKS static slices so each
+    chunk's d2h transfer completes (and advances the watermark)
+    independently."""
+    b = _chunk_bounds(rows.shape[0])
+    return tuple(rows[b[i]:b[i + 1]] for i in range(N_CHUNKS))
 
-    def __init__(self, futs, trim):
+
+@partial(jax.jit, static_argnames=("f16",))
+def _gather_rows_chunked(v, idx, f16: bool):
+    return _chunk_rows(_gather_rows.__wrapped__(v, idx, f16))
+
+
+class _PriorityPool:
+    """Tiny 2-thread pool draining a priority heap of transfer tasks.
+
+    The tunneled d2h link is serial (~45 MB/s measured; 3 parallel
+    transfers gain ~20%), so ordering matters more than concurrency:
+    priority = (chunk index, table index) makes the watermark — the MIN
+    delivered prefix across tables — advance evenly instead of one table
+    finishing at a time."""
+
+    def __init__(self, workers: int = 2):
+        import heapq
         import threading
-        super().__init__({k: None for k in futs})
-        self._futs, self._trim = futs, trim
+        self._heapq = heapq
+        self._heap = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._seq = 0
+        self._threads = [threading.Thread(target=self._run, daemon=True)
+                         for _ in range(workers)]
+        for t in self._threads:
+            t.start()
+
+    def submit(self, priority, fn):
+        with self._cv:
+            self._heapq.heappush(self._heap, (priority, self._seq, fn))
+            self._seq += 1
+            self._cv.notify()
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._heap and not self._stop:
+                    self._cv.wait()
+                if not self._heap:
+                    return
+                _, _, fn = self._heapq.heappop(self._heap)
+            fn()
+
+    def shutdown(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+
+
+class _StreamState:
+    """Chunked d2h streams for the displacement tables.
+
+    Each expected table fills a preallocated float32 [cap, 3] host buffer
+    chunk by chunk (f16 wire chunks upcast on arrival); `ready[0]` counts
+    the leading rows delivered across ALL expected tables — the pointer
+    the C sweep spin-waits on (groupsweep.c rows_ready)."""
+
+    def __init__(self, cap: int, keys):
+        import threading
+        self.cap = cap
+        self.keys = list(keys)
+        self.buffers = {}
+        self._bounds = {}
+        self._delivered = {k: 0 for k in self.keys}
+        self._prefix = {k: 0 for k in self.keys}     # contiguous chunks
+        self._chunks_done = {k: set() for k in self.keys}
+        self._events = {k: threading.Event() for k in self.keys}
+        self.ready = np.zeros(1, np.int64)
         self._lock = threading.Lock()
+        self.error = None
+        self._pool = _PriorityPool()
+
+    def enqueue(self, key, chunks):
+        """chunks: tuple of device arrays slicing the table's [cap, 3]
+        rows at _chunk_bounds; transfers start immediately, watermark
+        advances as contiguous prefixes land."""
+        if key not in self._delivered:          # unexpected table: track
+            self._register(key)
+        buf = self.buffer(key)
+        bounds = _chunk_bounds(self.cap, len(chunks))
+        self._bounds[key] = bounds
+        kidx = self.keys.index(key)
+        nch = len(chunks)
+        for ci in range(nch):
+            ch = chunks[ci]
+            i0, i1 = bounds[ci], bounds[ci + 1]
+
+            def task(key=key, ci=ci, ch=ch, i0=i0, i1=i1, nch=nch):
+                try:
+                    if _STREAM_TEST_DELAY:        # tests: simulate a
+                        time.sleep(_STREAM_TEST_DELAY)   # slow link
+                    buf[i0:i1] = np.asarray(ch)   # upcasts f16 -> f32
+                    self._chunk_done(key, ci, nch)
+                except BaseException as e:        # noqa: BLE001
+                    self.fail(e)
+            self._pool.submit((ci, kidx), task)
+
+    def _register(self, key):
+        import threading
+        self.keys.append(key)
+        self._delivered[key] = 0
+        self._prefix[key] = 0
+        self._chunks_done[key] = set()
+        self._events[key] = threading.Event()
+
+    def buffer(self, key):
+        with self._lock:
+            b = self.buffers.get(key)
+            if b is None:
+                b = self.buffers[key] = np.empty((self.cap, 3), np.float32)
+        return b
+
+    def _chunk_done(self, key, ci, nchunks):
+        with self._lock:
+            done = self._chunks_done[key]
+            done.add(ci)
+            d = self._prefix[key]
+            while d in done:
+                d += 1
+            self._prefix[key] = d
+            self._delivered[key] = self._bounds[key][d]
+            self.ready[0] = min(self._delivered.values())
+            if len(done) == nchunks:
+                self._events[key].set()
+                if all(ev.is_set() for ev in self._events.values()):
+                    self._pool.shutdown()
+
+    def fail(self, err):
+        self.error = err
+        with self._lock:
+            # unblock the sweep: the driver re-raises after it returns
+            self.ready[0] = self.cap
+            for ev in self._events.values():
+                ev.set()
+            self._pool.shutdown()
+
+    def wait(self, key):
+        self._events[key].wait()
+        if self.error:
+            raise self.error
+
+    def check(self):
+        if self.error:
+            raise self.error
+
+
+class StreamingVel:
+    """Dict-like view over a _StreamState for one displacement set:
+    __getitem__ BLOCKS until that table is fully delivered (exchange,
+    snapshot and dump consumers keep their semantics); the fragmentation
+    driver instead reads `buffer()` non-blocking and hands the C sweep
+    the rows_ready watermark."""
+
+    def __init__(self, stream: _StreamState, keymap: dict, n: int):
+        self.stream = stream
+        self._keymap = keymap          # public key -> stream key
+        self._n = n
+
+    def __contains__(self, k):
+        return k in self._keymap
+
+    def __iter__(self):
+        return iter(self._keymap)
+
+    def __len__(self):
+        return len(self._keymap)
+
+    def keys(self):
+        return self._keymap.keys()
 
     def __getitem__(self, k):
-        with self._lock:               # sub-box threads share the dict
-            v = dict.__getitem__(self, k)
-            if v is None:
-                v = self._trim(self._futs.pop(k).result())
-                dict.__setitem__(self, k, v)
-            return v
+        sk = self._keymap[k]
+        self.stream.wait(sk)
+        return self.stream.buffers[sk][:self._n]
 
     def get(self, k, default=None):
-        return self[k] if k in self else default
+        return self[k] if k in self._keymap else default
 
     def items(self):
-        return [(k, self[k]) for k in self]
+        return [(k, self[k]) for k in self._keymap]
 
     def values(self):
-        return [self[k] for k in self]
+        return [self[k] for k in self._keymap]
+
+    def buffer(self, k):
+        """Non-blocking view (possibly still filling, watermark-guarded)."""
+        return self.stream.buffer(self._keymap[k])[:self._n]
+
+
+def _expected_stream_keys(params) -> list:
+    """The exact table set a run_fmax sparse fetch will deliver: the
+    watermark is the MIN delivered prefix over these, so the set must
+    match what gets enqueued or the sweep never starts."""
+    keys = ["v1"]
+    if params.lpt_order >= 2:
+        keys.append("v2")
+    if params.lpt_order >= 3:
+        keys += ["v31", "v32"]
+    out = list(keys)
+    if params.recompute_displacements and len(params.output_z) > 1:
+        for s in range(1, len(params.output_z)):
+            out += [("seg", s, k) for k in keys]
+    return out
 
 
 class PendingFetch:
     """Overlapped sparse product fetch (TPU backends): the index/Fmax
     compaction is dispatched right after the collapse cycle and its
     device->host transfer rides alongside the LPT displacement programs;
-    each displacement stack's compacted rows start crossing the link the
-    moment that stack's program retires, instead of all transfers queuing
-    after the full LPT stage (the link, not HBM, is the e2e bottleneck
-    on the tunneled backend)."""
+    each displacement stack's compacted rows cross the link in N_CHUNKS
+    prefix chunks the moment that stack's program retires, and the
+    fragmentation sweep STARTS on the delivered prefix (rows arrive in
+    sweep order by construction; groupsweep.c rows_ready watermark)
+    instead of waiting for the full tables — the link, not HBM, is the
+    e2e bottleneck on the tunneled backend (~45 MB/s measured)."""
 
-    def __init__(self, params, Fmax, N: int):
+    def __init__(self, params, Fmax, N: int, expected_keys=None):
         from concurrent.futures import ThreadPoolExecutor
         self.N = N
         self.t0 = time.perf_counter()
@@ -195,29 +390,33 @@ class PendingFetch:
         self.count = count
         idx, Fs = _compact_idx(Fmax, Flast, cap=self.cap)
         self.idx_dev = idx                 # device-side, for row gathers
-        self.ex = ThreadPoolExecutor(max_workers=3)
+        self.ex = ThreadPoolExecutor(max_workers=2)
         self.idx_fut = self.ex.submit(np.asarray, idx)
         self.f_fut = self.ex.submit(np.asarray, Fs)
-        self.vel_futs = {}
+        if expected_keys is None:
+            expected_keys = _expected_stream_keys(params)
+        self.stream = _StreamState(self.cap, expected_keys)
+        self._main_keys = [k for k in expected_keys
+                           if not isinstance(k, tuple)]
+        self._nseg = 1 + max((k[1] for k in expected_keys
+                              if isinstance(k, tuple)), default=0)
 
     def add_vel(self, key: str, v):
-        rows = _gather_rows(v, self.idx_dev, f16=self.f16)
-        self.vel_futs[key] = self.ex.submit(np.asarray, rows)
+        self.stream.enqueue(key, _gather_rows_chunked(v, self.idx_dev,
+                                                      f16=self.f16))
 
-    def add_rows(self, key: str, rows):
-        """rows already gathered on device (displacement_stage_fetch):
-        just start the transfer."""
-        self.vel_futs[key] = self.ex.submit(np.asarray, rows)
+    def add_rows(self, key: str, chunks):
+        """chunks already gathered+split on device
+        (displacement_stage_fetch): just start the transfers."""
+        self.stream.enqueue(key, chunks)
 
-    def add_seg(self, iseg: int, key: str, v_or_rows, gathered=False):
+    def add_seg(self, iseg: int, key: str, v_or_chunks, gathered=False):
         """RECOMPUTE_DISPLACEMENTS segment stack: transfer only the
         needed rows (the dense per-segment transfer was the remaining
         N^3-sized d2h in recompute runs)."""
-        if not hasattr(self, "seg_futs"):
-            self.seg_futs = {}
-        rows = v_or_rows if gathered else _gather_rows(
-            v_or_rows, self.idx_dev, f16=self.f16)
-        self.seg_futs[(iseg, key)] = self.ex.submit(np.asarray, rows)
+        chunks = v_or_chunks if gathered else _gather_rows_chunked(
+            v_or_chunks, self.idx_dev, f16=self.f16)
+        self.stream.enqueue(("seg", iseg, key), chunks)
 
     def finish(self, verbose: bool = False) -> SparseProducts:
         if getattr(self, "_sp", None) is not None:
@@ -226,29 +425,28 @@ class PendingFetch:
         valid = idx_h >= 0
         ci = idx_h[valid].astype(np.int64)
         F_c = self.f_fut.result()[valid]
-        def trim(rows_h):
-            # valid entries are the prefix: slice + vectorized upcast
-            return np.ascontiguousarray(rows_h[:len(ci)], np.float32)
+        n = len(ci)
 
-        # lazy: each table materializes on first access, so the caller's
-        # sub-box selection (ci+F only) overlaps the row transfers
-        vel_c = _LazyVel(dict(self.vel_futs), trim)
+        vel_c = StreamingVel(self.stream, {k: k for k in self._main_keys},
+                             n)
         # sparse RECOMPUTE segments, aligned row-for-row with vel_c
         self.segments = None
-        if getattr(self, "seg_futs", None):
-            nseg = 1 + max(s for s, _ in self.seg_futs)
+        if self._nseg > 1:
             self.segments = [vel_c] + [
-                _LazyVel({k: self.seg_futs[(s2, k)]
-                          for s2, k in self.seg_futs if s2 == s}, trim)
-                for s in range(1, nseg)]
+                StreamingVel(self.stream,
+                             {k: ("seg", s, k) for k in self._main_keys},
+                             n)
+                for s in range(1, self._nseg)]
         self.ex.shutdown(wait=False)
         self.idx_dev = None            # release the device index buffer
         if verbose:
-            nb = self.cap * (8 + 6 * len(vel_c) * (2 if self.f16 else 4))
+            nb = self.cap * (8 + 6 * len(self._main_keys)
+                             * (2 if self.f16 else 4))
             print(f"  products: {self.count}/{self.N ** 3} needed "
                   f"particles ({100.0 * self.count / self.N ** 3:.1f}%), "
-                  f"{nb / 1e6:.0f} MB transferred, overlapped with LPT "
-                  f"({time.perf_counter() - self.t0:.1f}s since cycle)")
+                  f"{nb / 1e6:.0f} MB streaming, overlapped with LPT + "
+                  f"sweep ({time.perf_counter() - self.t0:.1f}s since "
+                  f"cycle)")
         self._sp = SparseProducts(N=self.N, ci=ci, F=F_c, vel=vel_c,
                                   sorted_by="F")
         return self._sp
@@ -383,7 +581,7 @@ def displacement_stage_fetch(kdensity, sd, growths, idx, N: int,
     rows = {}
     for k, v in vel.items():
         r = v.reshape(3, -1)[:, safe].T      # [cap, 3] wire layout
-        rows[k] = r.astype(jnp.float16) if f16 else r
+        rows[k] = _chunk_rows(r.astype(jnp.float16) if f16 else r)
     return vel, rows
 
 
@@ -694,8 +892,10 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
         return dataclasses.replace(fmax_result, products=dense)
 
     # post-hoc sparse fetch: the same compaction/transfer machinery the
-    # overlapped path uses (PendingFetch), just started now
-    pending = PendingFetch(params, prods.Fmax, fmax_result.grid.N)
+    # overlapped path uses (PendingFetch), just started now — expected
+    # tables are exactly the dense stacks present (never segments)
+    pending = PendingFetch(params, prods.Fmax, fmax_result.grid.N,
+                           expected_keys=sorted(prods.vel))
     for k in sorted(prods.vel):
         pending.add_vel(k, prods.vel[k])
     sp = pending.finish(verbose=verbose)

@@ -77,6 +77,9 @@ class _SweepInput(ctypes.Structure):
         ("seg_v32", ctypes.POINTER(_f32p)),
         ("seg_w1", _f64p), ("seg_w2", _f64p),
         ("seg_w31", _f64p), ("seg_w32", _f64p),
+        # streaming watermark: rows [0, *rows_ready) of every v/seg table
+        # are delivered; NULL = all tables complete before the sweep
+        ("rows_ready", _i64p),
     ]
 
 
@@ -383,6 +386,7 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     sp = fmax_result.host_products
     full_box = tuple(geom.L) == (N, N, N) and tuple(geom.stabl) == (0, 0, 0)
     ncells = int(np.prod(geom.L))
+    stream = None                  # set on the streaming sparse path
 
     if sp is not None:
         # sparse host products (needed particles only): membership test by
@@ -440,6 +444,12 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         # per-box copies of the displacement tables too
         use_rowmap = (fmax_result.vel_segments is None or quick
                       or fmax_result.seg_sparse)
+        # streaming tables (fmax.StreamingVel): hand the sweep the
+        # possibly-still-filling buffers plus the rows_ready watermark —
+        # the sweep starts on the delivered prefix instead of blocking
+        # for the full device->host transfer
+        stream = (sp.vel.stream if use_rowmap
+                  and hasattr(sp.vel, "stream") else None)
         if use_rowmap:
             # no per-box displacement copies: the sweep reads the shared
             # sparse tables through rowmap (one ~GB gather per table per
@@ -449,6 +459,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
             def gather_vel(key):
                 if key not in sp.vel:
                     return None
+                if stream is not None:
+                    return sp.vel.buffer(key)
                 return np.ascontiguousarray(sp.vel[key], np.float32)
         else:
             rowmap = None
@@ -517,9 +529,13 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         if fmax_result.seg_sparse:
             # segment arrays are needed-particle rows aligned with the
             # sparse products: the sweep reads them through rowmap too
+            # (streaming tables stay non-blocking — same watermark)
             def gather_seg(vs, key):
-                if key not in vs or vs[key] is None:
+                if key not in vs or (not hasattr(vs, "buffer")
+                                     and vs[key] is None):
                     return None
+                if hasattr(vs, "buffer"):
+                    return vs.buffer(key)
                 return np.ascontiguousarray(vs[key], np.float32)
         else:
             def gather_seg(vs, key):
@@ -648,7 +664,9 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
         tab_dv1=p(tabs["dv1"], _f64p), tab_dv2=p(tabs["dv2"], _f64p),
         tab_dv31=p(tabs["dv31"], _f64p), tab_dv32=p(tabs["dv32"], _f64p),
         tab_D1=p(tabs["D1"], _f64p),
-        nout=nout, outF=p(outF, _f64p), maxg=maxg)
+        nout=nout, outF=p(outF, _f64p), maxg=maxg,
+        rows_ready=(stream.ready.ctypes.data_as(_i64p)
+                    if stream is not None else _i64p()))
 
     if scaledep_gm is not None:
         from ..cosmology import DELTALOGK, LOGKMIN, NK_BINS
@@ -771,6 +789,8 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
     rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so),
                    pi_ref, po_ref)
     timings["sweep"] = time.perf_counter() - t0
+    if stream is not None:
+        stream.check()     # a failed transfer unblocks the sweep: raise
     if rc == -2 and F_grid is None and n > 0:
         # sparse-path capacity estimate was too small: regrow and redo
         # (the reference aborts at PredNpeaks instead, build_groups.c:357)

@@ -32,6 +32,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <stdio.h>
+#include <time.h>
 
 #define FILAMENT 1
 #define SHIFT 0.5
@@ -111,6 +112,16 @@ typedef struct {
     /* per-segment weight tables, [nseg * tab_n] (or [nseg*sd_nk*tab_n]
      * when sd_nk > 0) */
     const double *seg_w1, *seg_w2, *seg_w31, *seg_w32;
+
+    /* streaming watermark: when non-NULL, rows [0, *rows_ready) of every
+     * v/seg table are delivered (they cross the device->host link DURING
+     * the sweep, in sweep order); the sweep spin-waits before touching a
+     * row at or past the watermark.  All table reads are at prow(ip) of
+     * the current or an earlier-processed particle, and rowmap is
+     * monotonic in sweep order, so the prefix condition is sufficient
+     * (streamed analog of the reference's 50k-particle chunked
+     * redistribution, distribute.c:300-534). */
+    const volatile int64_t *rows_ready;
 } sweep_input;
 
 /* group state (struct of arrays), allocated by the sweep */
@@ -979,6 +990,20 @@ int sweep(const sweep_input *in, const capture_buffers *cap,
     int fil_xyz[6][3];
 
     for (int64_t this_z = 0; this_z < in->n; this_z++) {
+        /* streaming watermark: block until this particle's table row has
+         * crossed the link (all later reads are at earlier rows) */
+        if (in->rows_ready) {
+            const int64_t need = in->rowmap
+                ? (int64_t)in->rowmap[this_z] : this_z;
+            if (__atomic_load_n(in->rows_ready, __ATOMIC_ACQUIRE)
+                    <= need) {
+                struct timespec ts = { 0, 200000 };   /* 200 us */
+                do {
+                    nanosleep(&ts, NULL);
+                } while (__atomic_load_n(in->rows_ready,
+                                         __ATOMIC_ACQUIRE) <= need);
+            }
+        }
         /* particles arrive in collapse-time order, i.e. spatially random:
          * the 6-neighbour loc[] lookups are cache misses on a grid far
          * larger than LLC.  Prefetch the next few particles' neighbour

@@ -327,3 +327,45 @@ def test_dense_segments_with_sparse_products_subbox(
         o0, o1 = np.argsort(c0.name), np.argsort(c1.name)
         assert np.array_equal(c0.name[o0], c1.name[o1])
         assert np.array_equal(c0.mass[o0], c1.mass[o1])
+
+
+def test_streaming_watermark_gates_sweep(hmf_validation_params,
+                                         hmf_validation_cosmology):
+    """The rows_ready watermark (groupsweep.c): with a deliberately slow
+    chunk stream, the sweep starts on the delivered prefix and must
+    spin-wait for every later row — if the gating were broken it would
+    read uninitialized buffer rows and produce different halos.  Run
+    multibox so two concurrent sweeps share one watermark."""
+    import dataclasses
+    import time
+    from pinocchio_tpu import fmax as fmax_mod
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.fragment.subbox import run_fragmentation_multibox
+
+    base = dataclasses.replace(hmf_validation_params, GridSize=64,
+                               transfer_f16=False)
+    c = hmf_validation_cosmology
+    r_d = run_fmax(dataclasses.replace(base, sparse_transfer=False), c,
+                   verbose=False)
+    f_d = run_fragmentation_multibox(base, c, r_d, (2, 1, 1),
+                                     verbose=False)
+
+    p_sp = dataclasses.replace(base, sparse_transfer=True)
+    fmax_mod._STREAM_TEST_DELAY = 0.05      # 16 chunks x 4 tables x 50 ms
+    try:
+        t0 = time.perf_counter()
+        r_s = run_fmax(p_sp, c, verbose=False)
+        assert r_s.pending_fetch is not None
+        f_s = run_fragmentation_multibox(p_sp, c, r_s, (2, 1, 1),
+                                         verbose=False)
+        elapsed = time.perf_counter() - t0
+    finally:
+        fmax_mod._STREAM_TEST_DELAY = 0.0
+    # the stream really was slow (so the sweep must have waited)
+    assert elapsed > 0.05 * fmax_mod.N_CHUNKS / 2
+    assert np.array_equal(f_d.counters, f_s.counters)
+    for c0, c1 in zip(f_d.catalogs, f_s.catalogs):
+        o0, o1 = np.argsort(c0.name), np.argsort(c1.name)
+        assert np.array_equal(c0.name[o0], c1.name[o1])
+        assert np.array_equal(c0.mass[o0], c1.mass[o1])
+        assert np.allclose(c0.x[o0], c1.x[o1], atol=1e-5)
