@@ -111,6 +111,13 @@ class Params:
                                         # (V5 needed-particle maps,
                                         # distribute.c:670-698; None =
                                         # auto: on for TPU backends)
+    ooc: str = "auto"                   # out-of-core fmax engine
+                                        # (fmax_ooc.py): "auto" = when the
+                                        # monolithic device peak exceeds
+                                        # HBM (planner), "on", "off"
+    ooc_dtype: str = None               # half-transform storage dtype
+                                        # (None = bfloat16 on TPU,
+                                        # float32 elsewhere/tests)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])

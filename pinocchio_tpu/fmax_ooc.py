@@ -1,0 +1,670 @@
+"""Out-of-core fmax engine: grids whose dense pipeline exceeds HBM.
+
+The monolithic engine (fmax.py) needs ~6 f32 N^3 Hessian buffers plus the
+LPT stacks resident — 84 GB at 1024^3 against the v5e's 16 GB HBM
+(planner.enforce_budget aborts).  The reference scales to arbitrary N^3 on
+bounded memory by construction (allocations.c:37-251 byte budget); this
+module is the TPU analog: the working set is capped by storing only the
+HALF-TRANSFORMED fields and materializing real space in z-slabs.
+
+Key identity: with delta(k) on the rfft layout [N, N, Nh],
+
+    f(x, y, z) = sum_kz basis(kz, z) * ifft2(fac(k) * delta)(x, y, kz)
+
+so each field needs one [Nh, N, N] complex intermediate u ("half
+transform", built kz-plane by kz-plane with delta REGENERATED on the fly
+— ic.kdensity_plane_fn, no resident delta) and real space is recovered
+per z-slab as two MXU matmuls against cos/sin bases (backend.py zmm).
+
+Memory ledger at 1024^3 (bf16 storage, decimal GB; 15 GiB usable
+measured):
+  cycle:   u1 (6 comps)  12.9 + Fmax f16 2.15          = 15.05
+  2LPT:    u1 12.9 + q2 dense 2.15                     = 15.05
+  3LPT-b:  folded one component-pair at a time          <= 10.8
+  (q31 round-trips through the host; the 3LPT-b mixed invariant
+   sum_ij w phi2,ij phi1,ij accumulates per PAIR so the two full
+   Hessian stacks never coexist.)
+
+Collapse model: ELL_CLASSIC (the HMF_Validation/headline config).  The
+tabulated/SNG models and RECOMPUTE segments keep the monolithic engine —
+config validation refuses the combination with a clear message.
+
+Reference map: compute_fmax fmax.c:36-190 (cycle), LPT.c:32-235
+(sources), allocations.c:37-251 (the bounded-memory contract this
+replaces).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Params
+from .cosmology import Cosmology
+from .grids import Grid, k_grid_units
+from .ic import kdensity_plane_fn
+from .fmax import (FmaxResult, Products, Smoothing, SparseProducts,
+                   inverse_growth_packs)
+from .ops import collapse
+
+# ider order: 0:xx 1:yy 2:zz 3:xy 4:xz 5:yz
+PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+PAIR_W = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)   # 3LPT-b off-diagonal weights
+
+
+def _divisor_batch(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (>=1)."""
+    best = 1
+    for b in range(1, min(n, target) + 1):
+        if n % b == 0:
+            best = b
+    return best
+
+
+def _store(x, dtype):
+    return x.astype(dtype)
+
+
+def _zbases(N: int, z0, Bz: int, dtype):
+    """c2r bases C, S [Nh, Bz] for output planes z0..z0+Bz-1 (traced z0),
+    mod-N angle reduction for f32 fidelity (backend._zdft_bases)."""
+    Nh = N // 2 + 1
+    m = jnp.arange(Nh, dtype=jnp.int32).reshape(Nh, 1)
+    z = z0 + jnp.arange(Bz, dtype=jnp.int32).reshape(1, Bz)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((m * z) % N, jnp.float32)
+    w = jnp.where((m == 0) | (m == N // 2), 1.0, 2.0).astype(jnp.float32) / N
+    return ((w * jnp.cos(ang)).astype(dtype),
+            (-w * jnp.sin(ang)).astype(dtype))
+
+
+def _fzbases(N: int, z0, Bz: int):
+    """FORWARD rfft_z bases [Bz, Nh] f32 (accumulating a spectrum from
+    real z-slabs): W[z, kz] = exp(-2 pi i z kz / N), returned (cos, -sin)
+    as separate f32 mats."""
+    Nh = N // 2 + 1
+    z = z0 + jnp.arange(Bz, dtype=jnp.int32).reshape(Bz, 1)
+    m = jnp.arange(Nh, dtype=jnp.int32).reshape(1, Nh)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((z * m) % N, jnp.float32)
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def _slab_matmul(u_c, C, S, prec):
+    """Real z-slab of one component: u_c [2, Nh, N, N] -> [Bz, N, N]."""
+    re = jnp.einsum("kxy,kb->bxy", u_c[0], C, precision=prec,
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("kxy,kb->bxy", u_c[1], S, precision=prec,
+                    preferred_element_type=jnp.float32)
+    return re + im
+
+
+class OocEngine:
+    """One out-of-core fmax run.  All jitted members are shaped by
+    (N, Bkz, Bz, dtype) only, so every radius / source reuses the same
+    executables."""
+
+    def __init__(self, params: Params, cosmo: Cosmology,
+                 verbose: bool = True):
+        self.params = params
+        self.cosmo = cosmo
+        self.verbose = verbose
+        self.grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
+        N = self.N = self.grid.N
+        self.Nh = N // 2 + 1
+        on_tpu = jax.default_backend() not in ("cpu",)
+        dt = params.ooc_dtype or ("bfloat16" if on_tpu else "float32")
+        self.dtype = jnp.dtype(dt)
+        self.fdtype = jnp.float16 if on_tpu else jnp.float32  # Fmax store
+        self.prec = (jax.lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
+                     else jax.lax.Precision.HIGHEST)
+        self.Bkz = _divisor_batch(self.Nh, 16 if N >= 256 else self.Nh)
+        self.Bz = _divisor_batch(N, 16 if N >= 256 else N)
+        self.plane = kdensity_plane_fn(self.grid, cosmo,
+                                       params.RandomSeed,
+                                       fixed=params.FixedIC,
+                                       paired=params.PairedIC)
+        self.sm = Smoothing.build(params, cosmo)
+        self.timings: Dict[str, float] = {}
+
+    # ---------------- pass A: build half-transform stacks -------------
+
+    def _facs_hessian(self, kxp, kyp, kzv, R_grid):
+        """fac_c(k) for the 6 Hessian components at one kz batch:
+        kxp [N,1], kyp [1,N] signed grid-unit k, kzv [B,1,1]."""
+        k2 = kxp * kxp + kyp * kyp + kzv * kzv
+        inv = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+        smooth = jnp.exp(-0.5 * k2 * R_grid * R_grid) * inv
+        kvec = (kxp, kyp, kzv)
+        return [(kvec[a] * kvec[b]) * smooth for a, b in PAIRS]
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def build_u_hessian(self, u, R_grid):
+        """u [6, 2, Nh, N, N] (donated): ifft2(fac_c * delta) per kz
+        batch, delta regenerated per plane (no resident spectrum)."""
+        N, Nh, B = self.N, self.Nh, self.Bkz
+        half = N // 2
+        ix = jnp.arange(N, dtype=jnp.int32)
+        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
+                                             ).astype(jnp.float32)
+        kxp = kx1.reshape(N, 1)
+        kyp = kx1.reshape(1, N)
+
+        def body(i, u):
+            kz0 = i * B
+            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+            d = jax.vmap(self.plane)(kzs)          # [B, N, N] c64
+            kzv = ((2.0 * jnp.pi / N)
+                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+            facs = self._facs_hessian(kxp, kyp, kzv, R_grid)
+            for c in range(6):
+                w = jnp.fft.ifft2(d * facs[c], axes=(1, 2))
+                blk = jnp.stack([jnp.real(w), jnp.imag(w)]
+                                ).astype(self.dtype)          # [2,B,N,N]
+                u = jax.lax.dynamic_update_slice(u, blk[None],
+                                                 (c, 0, kz0, 0, 0))
+            return u
+
+        return jax.lax.fori_loop(0, Nh // B, body, u)
+
+    @partial(jax.jit, static_argnames=("self", "source"),
+             donate_argnums=(1,))
+    def build_u_first(self, u, spec, gtab, glo, gdx, source: str):
+        """u [3, 2, Nh, N, N] (donated): half-transforms of the 3 first
+        derivatives i k_c / k^2 * g(|k|) of a source spectrum.
+        source='density': regenerate delta per plane (spec unused);
+        source='spec': read planes of spec [2, Nh, N, N] (store dtype).
+        g: per-|k| growth table over log10 k grid units (scale-dependent
+        growth, fmax-pfft.c:344-364); a constant table gives scalar g."""
+        N, Nh, B = self.N, self.Nh, self.Bkz
+        half = N // 2
+        ix = jnp.arange(N, dtype=jnp.int32)
+        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
+                                             ).astype(jnp.float32)
+        kxp = kx1.reshape(N, 1)
+        kyp = kx1.reshape(1, N)
+
+        def body(i, u):
+            kz0 = i * B
+            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+            if source == "density":
+                d = jax.vmap(self.plane)(kzs)
+            else:
+                re = jax.lax.dynamic_slice(
+                    spec, (0, kz0, 0, 0), (1, B, N, N))[0]
+                im = jax.lax.dynamic_slice(
+                    spec, (1, kz0, 0, 0), (1, B, N, N))[0]
+                d = (re.astype(jnp.float32)
+                     + 1j * im.astype(jnp.float32))
+            kzv = ((2.0 * jnp.pi / N)
+                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+            k2 = kxp * kxp + kyp * kyp + kzv * kzv
+            inv = jnp.where(k2 > 0.0,
+                            1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            logk = 0.5 * jnp.log10(jnp.maximum(k2, 1e-12))
+            t = jnp.clip((logk - glo) / gdx, 0.0, gtab.shape[0] - 1.001)
+            it = t.astype(jnp.int32)
+            wt = t - it.astype(jnp.float32)
+            g = gtab[it] * (1.0 - wt) + gtab[it + 1] * wt
+            base = d * (1j * (inv * g))
+            for c, kc in enumerate((kxp, kyp, kzv)):
+                w = jnp.fft.ifft2(base * kc, axes=(1, 2))
+                blk = jnp.stack([jnp.real(w), jnp.imag(w)]
+                                ).astype(self.dtype)
+                u = jax.lax.dynamic_update_slice(u, blk[None],
+                                                 (c, 0, kz0, 0, 0))
+            return u
+
+        return jax.lax.fori_loop(0, Nh // B, body, u)
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def build_u_single(self, u, spec, ia: jnp.int32, ib: jnp.int32,
+                       use_density: jnp.bool_, fac_one: jnp.bool_):
+        """u [2, Nh, N, N] (donated): ONE Hessian component k_ia k_ib/k^2
+        of either the density (regenerated) or a resident spectrum —
+        the 3LPT-b pair-folding workhorse.  fac_one=True instead applies
+        factor 1 (the field itself: trace term tr(phi,ij) = delta, and
+        q2 for the 2 tr(sd) q2 product).  All flags traced so the 6x2+2
+        combinations share one executable."""
+        N, Nh, B = self.N, self.Nh, self.Bkz
+        half = N // 2
+        ix = jnp.arange(N, dtype=jnp.int32)
+        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
+                                             ).astype(jnp.float32)
+        kxp = jnp.broadcast_to(kx1.reshape(1, N, 1), (1, N, 1))
+        kyp = kx1.reshape(1, 1, N)
+
+        def body(i, u):
+            kz0 = i * B
+            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+            d_gen = jax.vmap(self.plane)(kzs)
+            re = jax.lax.dynamic_slice(spec, (0, kz0, 0, 0),
+                                       (1, B, N, N))[0]
+            im = jax.lax.dynamic_slice(spec, (1, kz0, 0, 0),
+                                       (1, B, N, N))[0]
+            d_spec = re.astype(jnp.float32) + 1j * im.astype(jnp.float32)
+            d = jnp.where(use_density, d_gen, d_spec)
+            kzv = ((2.0 * jnp.pi / N)
+                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+            k2 = kxp * kxp + kyp * kyp + kzv * kzv
+            inv = jnp.where(k2 > 0.0,
+                            1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+            kv = jnp.stack([jnp.broadcast_to(kxp, (B, N, N)),
+                            jnp.broadcast_to(kyp, (B, N, N)),
+                            jnp.broadcast_to(kzv, (B, N, N))])
+            fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
+            w = jnp.fft.ifft2(d * fac, axes=(1, 2))
+            blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(self.dtype)
+            return jax.lax.dynamic_update_slice(u, blk, (0, kz0, 0, 0))
+
+        return jax.lax.fori_loop(0, Nh // B, body, u)
+
+    # ---------------- pass B: z-slab consumers -------------------------
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    def cycle_pass_b(self, u, Fmax, pack):
+        """One radius of the collapse cycle over z-slabs: Fmax (donated,
+        self.fdtype) updated in place; returns (Fmax, davg, dvar).
+        Rmax is not tracked — nothing in the catalog pipeline reads it
+        (the sweep never does; fmax.py fetch_products_host docstring)."""
+        N, Bz = self.N, self.Bz
+
+        def body(j, carry):
+            Fmax, s1, s2 = carry
+            z0 = j * Bz
+            C, S = _zbases(N, z0, Bz, self.dtype)
+            sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
+            delta = sd[0] + sd[1] + sd[2]
+            l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
+            bc = collapse.ell_classic(l1, l2, l3)
+            loga = collapse.eval_inverse_growth(
+                pack, jnp.log10(jnp.maximum(bc, 1e-30)))
+            F = jnp.where(bc > 0.0,
+                          jnp.exp2(-3.321928094887362 * loga), 0.0)
+            F = jnp.where(fail, -10.0, F)
+            # [Bz, N, N] -> Fmax slab layout [N, N, Bz] (z minor)
+            Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
+            Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
+            Fsl = jnp.maximum(Fsl, Fnew)
+            Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
+            m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
+            m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
+            return Fmax, s1 + m1, s2 + m2
+
+        nsl = N // Bz
+        Fmax, s1, s2 = jax.lax.fori_loop(
+            0, nsl, body, (Fmax, jnp.float32(0.0), jnp.float32(0.0)))
+        return Fmax, s1 / nsl, s2 / nsl
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    def q2_pass(self, u, q2):
+        """2LPT source from the R=0 Hessian stack u, written DENSE on
+        device [N, N, N] store dtype, z minor (LPT.c:70-76).  Fits the
+        ledger: u (12.9) + q2 (2.15) at 1024^3."""
+        N, Bz = self.N, self.Bz
+
+        def body(j, q2):
+            z0 = j * Bz
+            C, S = _zbases(N, z0, Bz, self.dtype)
+            sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
+            xx, yy, zz, xy, xz, yz = sd
+            src2 = (xx * yy + xx * zz + yy * zz
+                    - xy * xy - xz * xz - yz * yz)
+            return jax.lax.dynamic_update_slice(
+                q2, jnp.transpose(src2, (1, 2, 0)).astype(self.dtype),
+                (0, 0, z0))
+
+        return jax.lax.fori_loop(0, N // Bz, body, q2)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def q31_slab(self, u, z0):
+        """One z-slab of the 3LPT-a source 3*det(phi,ij) (LPT.c:79-87),
+        [Bz, N, N] in the wire dtype — the dense field round-trips
+        through the HOST because no third N^3 device buffer fits next to
+        u + q2 at 1024^3 (module ledger)."""
+        N, Bz = self.N, self.Bz
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
+        xx, yy, zz, xy, xz, yz = sd
+        src31 = 3.0 * (xx * (yy * zz - yz * yz)
+                       - xy * (xy * zz - xz * yz)
+                       + xz * (xy * yz - xz * yy))
+        # [Bz, N, N] -> [N, N, Bz]: host concatenates along z (minor)
+        return jnp.transpose(src31, (1, 2, 0)).astype(self.fdtype)
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(3,))
+    def mixed_fold_pass(self, u1c, u2c, wacc, first: jnp.bool_,
+                        weight):
+        """One component-pair of the 3LPT-b source, accumulated DIRECTLY
+        in its forward-z spectrum wacc [2, Nh, N, N] f32:
+          contribution(x) = first ? 2*tr(sd)*q2(x) : 0  - 2*w*phi2_c*phi1_c
+        where on the 'first' call u1c/u2c are the TRACE half-transform of
+        sd and the q2 half-transform (LPT.c:89-141)."""
+        N, Bz = self.N, self.Bz
+
+        def body(j, wacc):
+            z0 = j * Bz
+            C, S = _zbases(N, z0, Bz, self.dtype)
+            a = _slab_matmul(u1c, C, S, self.prec)
+            b = _slab_matmul(u2c, C, S, self.prec)
+            contrib = jnp.where(first, 2.0 * a * b,
+                                -2.0 * weight * a * b)
+            FC, FS = _fzbases(N, z0, Bz)
+            return wacc + jnp.stack([
+                jnp.einsum("bxy,bk->kxy", contrib, FC,
+                           precision=self.prec,
+                           preferred_element_type=jnp.float32),
+                jnp.einsum("bxy,bk->kxy", contrib, FS,
+                           precision=self.prec,
+                           preferred_element_type=jnp.float32)])
+
+        return jax.lax.fori_loop(0, N // Bz, body, wacc)
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    def real_to_spec(self, q, out):
+        """Dense real field [N, N, N] (z minor) -> spectrum
+        [2, Nh, N, N] (donated out, store dtype): rfft over z in
+        x-batches, then fft2 per kz batch — the staged forward
+        counterpart of pass A."""
+        N = self.N
+        Bx = _divisor_batch(N, 32)
+
+        def zpass(i, out):
+            x0 = i * Bx
+            sl = jax.lax.dynamic_slice(q, (x0, 0, 0), (Bx, N, N))
+            w = jnp.fft.rfft(sl.astype(jnp.float32), axis=2)  # [Bx,N,Nh]
+            blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(out.dtype)
+            blk = jnp.transpose(blk, (0, 3, 1, 2))            # [2,Nh,Bx,N]
+            return jax.lax.dynamic_update_slice(out, blk, (0, 0, x0, 0))
+
+        out = jax.lax.fori_loop(0, N // Bx, zpass, out)
+        return self._spec_fft2_body(out, out.dtype)
+
+    def _spec_fft2_body(self, w, out_dtype):
+        """fft2 over (x, y) per kz batch, in place on w's buffer layout
+        [2, Nh, N, N] (traceable helper shared by real_to_spec /
+        spec_fft2)."""
+        N, Nh, B = self.N, self.Nh, self.Bkz
+
+        def fpass(i, w):
+            kz0 = i * B
+            re = jax.lax.dynamic_slice(w, (0, kz0, 0, 0), (1, B, N, N))
+            im = jax.lax.dynamic_slice(w, (1, kz0, 0, 0), (1, B, N, N))
+            f = jnp.fft.fft2(re[0].astype(jnp.float32)
+                             + 1j * im[0].astype(jnp.float32),
+                             axes=(1, 2))
+            blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(w.dtype)
+            return jax.lax.dynamic_update_slice(w, blk, (0, kz0, 0, 0))
+
+        w = jax.lax.fori_loop(0, Nh // B, fpass, w)
+        return w.astype(out_dtype)
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def spec_fft2(self, w):
+        """Finish a forward-z-accumulated spectrum (f32 [2, Nh, N, N])
+        with the (x, y) fft2; returns the store-dtype spectrum."""
+        return self._spec_fft2_body(w, self.dtype)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def vrows_slab(self, u, idx_all, j):
+        """Needed rows of one displacement stack for z-slab j: u
+        [3, 2, Nh, N, N] -> gather rows [cap, 3] wire-dtype via
+        idx_all[j] (int32 indices into the slab's [Bz, N, N] C-order
+        flattening; padded tail rows are junk the host drops)."""
+        N, Bz = self.N, self.Bz
+        cap = idx_all.shape[1]
+        idx = jax.lax.dynamic_slice(idx_all, (j, 0), (1, cap))[0]
+        z0 = j * Bz
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        comps = [_slab_matmul(u[c], C, S, self.prec).reshape(-1)
+                 for c in range(3)]
+        rows = jnp.stack([c[idx] for c in comps], axis=1)
+        return rows.astype(self.fdtype)
+
+    # ---------------- F compaction ------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def f_slab(self, Fmax, z0):
+        """One z-slab of Fmax in [Bz, N, N] layout (for per-slab host
+        masks) — trivial, exists to keep transfers slab-sized."""
+        N, Bz = self.N, self.Bz
+        sl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
+        return jnp.transpose(sl, (2, 0, 1))
+
+
+# ----------------------------------------------------------------------
+# orchestration
+# ----------------------------------------------------------------------
+
+def _const_gtab(D: float):
+    """Constant growth 'table' (scale-independent growth as the
+    degenerate case of the per-|k| lookup)."""
+    return (jnp.asarray([D, D], jnp.float32), jnp.float32(0.0),
+            jnp.float32(1.0))
+
+
+def ooc_supported(params: Params, reason: bool = False):
+    """Which configurations the out-of-core engine covers (the headline
+    large-N config); everything else keeps the monolithic engine."""
+    why = None
+    if params.ell_model != "classic":
+        why = "ooc engine supports ELL_CLASSIC only"
+    elif params.recompute_displacements:
+        why = "ooc engine does not recompute displacement segments"
+    elif params.WriteTimelessSnapshot:
+        why = "ooc engine keeps no dense displacement stacks for snapshots"
+    elif params.DumpProducts:
+        why = "ooc engine does not dump products"
+    return (why is None, why) if reason else why is None
+
+
+def run_fmax_ooc(params: Params, cosmo: Cosmology,
+                 verbose: bool = True) -> FmaxResult:
+    """The out-of-core fmax run: collapse cycle + 3LPT displacements with
+    a bounded device working set, host products assembled streaming.
+
+    Returns an FmaxResult whose host_products are already materialized
+    (sorted_by='ci'): fragmentation sorts per sub-box on the host, since
+    a device-side (-F) sort of N^3 >= 1024^3 keys has no workspace."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ok, why = ooc_supported(params, reason=True)
+    if not ok:
+        raise ValueError(f"out-of-core fmax: {why} "
+                         "(run the monolithic engine or drop the flag)")
+    if getattr(cosmo, "scale_dep", False):
+        raise ValueError("out-of-core fmax: scale-dependent growth not "
+                         "wired yet; use the monolithic engine")
+
+    eng = OocEngine(params, cosmo, verbose=verbose)
+    N, Nh = eng.N, eng.Nh
+    sm = eng.sm
+    timings: Dict[str, float] = {}
+    ex = ThreadPoolExecutor(max_workers=2)   # d2h stream (serial link)
+
+    # ---- collapse cycle --------------------------------------------
+    t0 = time.perf_counter()
+    radii_grid = sm.radii / eng.grid.CellSize
+    packs = inverse_growth_packs(cosmo, sm)
+    u = jnp.zeros((6, 2, Nh, N, N), eng.dtype)
+    Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
+    stats = []
+    for ism in range(sm.n):
+        u = eng.build_u_hessian(u, jnp.float32(radii_grid[ism]))
+        Fmax, m1, m2 = eng.cycle_pass_b(u, Fmax,
+                                        jnp.asarray(packs[ism]))
+        stats.append((m1, m2))
+    for ism, (m1, m2) in enumerate(stats):
+        sm.true_variance[ism] = float(np.asarray(m2))   # syncs the cycle
+        if verbose:
+            print(f"  smoothing {ism + 1}/{sm.n}: "
+                  f"R={sm.radii[ism]:9.5f} expected sigma "
+                  f"{math.sqrt(sm.variance[ism]):7.4f} computed "
+                  f"{math.sqrt(max(sm.true_variance[ism], 0.0)):7.4f}",
+                  flush=True)
+    timings["fmax_loop"] = time.perf_counter() - t0
+
+    # ---- products: Fmax to host, needed-cell prep -------------------
+    t0 = time.perf_counter()
+    f_fut = ex.submit(np.asarray, Fmax)      # 2 B/cell, rides the link
+    # ---- LPT sources from the R=0 Hessians (still in u) -------------
+    lpt_order = params.lpt_order
+    q2 = None
+    if lpt_order >= 2:
+        q2 = eng.q2_pass(u, jnp.zeros((N, N, N), eng.dtype))
+    q31_parts = []
+    if lpt_order >= 3:
+        futs = []
+        for j in range(N // eng.Bz):
+            sl = eng.q31_slab(u, jnp.int32(j * eng.Bz))
+            futs.append(ex.submit(np.asarray, sl))
+            while len([f for f in futs if not f.done()]) > 3:
+                time.sleep(0.005)
+        q31_parts = [f.result() for f in futs]
+    del u                                     # free the Hessian stack
+    F_host = f_fut.result()
+    Fmax = None
+    timings["sources"] = time.perf_counter() - t0
+
+    # host-side needed-cell prep (overlaps the device v-phases below
+    # only through the transfer threads; numpy here is the 2-vCPU host)
+    t0 = time.perf_counter()
+    flast = np.float16(params.Flast) if F_host.dtype == np.float16 \
+        else np.float32(params.Flast)
+    mask3 = F_host >= flast
+    Bz = eng.Bz
+    nsl = N // Bz
+    loc_idx, ci_parts, f_parts, counts = [], [], [], []
+    for j in range(nsl):
+        z0 = j * Bz
+        msl = np.ascontiguousarray(
+            np.transpose(mask3[:, :, z0:z0 + Bz], (2, 0, 1)))
+        li = np.flatnonzero(msl.ravel()).astype(np.int32)
+        loc_idx.append(li)
+        counts.append(len(li))
+        li64 = li.astype(np.int64)
+        b, rem = np.divmod(li64, N * N)
+        x, y = np.divmod(rem, N)
+        ci_parts.append((x * N + y) * N + (z0 + b))
+        fsl = np.ascontiguousarray(
+            np.transpose(F_host[:, :, z0:z0 + Bz], (2, 0, 1)))
+        f_parts.append(fsl.ravel()[li].astype(np.float32))
+        del msl, fsl
+    ci_all = np.concatenate(ci_parts)
+    F_all = np.concatenate(f_parts)
+    del ci_parts, f_parts
+    ntot = len(ci_all)
+    cap = max(128, int(-(-max(counts) * 1.02 // 128)) * 128)
+    idx_pad = np.zeros((nsl, cap), np.int32)
+    for j, li in enumerate(loc_idx):
+        idx_pad[j, :len(li)] = li
+    idx_dev = jax.device_put(idx_pad)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    del loc_idx, idx_pad
+    timings["needed_prep"] = time.perf_counter() - t0
+    if verbose:
+        print(f"  ooc products: {ntot}/{N ** 3} needed particles "
+              f"({100.0 * ntot / N ** 3:.1f}%), slab cap {cap}",
+              flush=True)
+
+    # ---- displacement row streaming ---------------------------------
+    t0 = time.perf_counter()
+    vel: Dict[str, np.ndarray] = {}
+
+    def growth(order_fn, z):
+        return _const_gtab(float(order_fn(z)))
+
+    z0out = params.zlast
+
+    def stream_rows(key, u_v):
+        buf = np.empty((ntot, 3), np.float32)
+        vel[key] = buf
+        futs = []
+
+        def land(j, fut):
+            rows = fut.result()
+            n_j = counts[j]
+            buf[offsets[j]:offsets[j] + n_j] = rows[:n_j]
+
+        pend = []
+        for j in range(nsl):
+            rows_dev = eng.vrows_slab(u_v, idx_dev, jnp.int32(j))
+            fut = ex.submit(np.asarray, rows_dev)
+            pend.append((j, fut))
+            while len([1 for _, f in pend if not f.done()]) > 3:
+                time.sleep(0.005)
+            while pend and pend[0][1].done():
+                land(*pend.pop(0))
+        for j, f in pend:
+            land(j, f)
+
+    dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
+    u_v = jnp.zeros((3, 2, Nh, N, N), eng.dtype)
+    g1 = growth(cosmo.GrowingMode, z0out)
+    u_v = eng.build_u_first(u_v, dummy, *g1, source="density")
+    stream_rows("v1", u_v)
+
+    q2hat = None
+    if lpt_order >= 2:
+        q2hat = eng.real_to_spec(q2, jnp.zeros((2, Nh, N, N), eng.dtype))
+        del q2
+        g2 = growth(cosmo.GrowingMode_2LPT, z0out)
+        u_v = eng.build_u_first(u_v, q2hat, *g2, source="spec")
+        stream_rows("v2", u_v)
+
+    if lpt_order >= 3:
+        # 3LPT-a: det source round-trips via the host
+        q31h = np.concatenate(q31_parts, axis=2)
+        del q31_parts
+        q31d = jax.device_put(q31h)
+        del q31h
+        q31hat = eng.real_to_spec(q31d,
+                                  jnp.zeros((2, Nh, N, N), eng.dtype))
+        del q31d
+        g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
+        u_v = eng.build_u_first(u_v, q31hat, *g31, source="spec")
+        stream_rows("v31", u_v)
+        del q31hat
+
+        # 3LPT-b: fold the mixed invariant one component-pair at a time
+        wacc = jnp.zeros((2, Nh, N, N), jnp.float32)
+        u1c = jnp.zeros((2, Nh, N, N), eng.dtype)
+        u2c = jnp.zeros((2, Nh, N, N), eng.dtype)
+        # NB build_u_single's source switch is traced (one executable
+        # for all folds), so the unused spec operand must be real-shaped
+        u1c = eng.build_u_single(u1c, q2hat, jnp.int32(0), jnp.int32(0),
+                                 jnp.bool_(True), jnp.bool_(True))
+        u2c = eng.build_u_single(u2c, q2hat, jnp.int32(0), jnp.int32(0),
+                                 jnp.bool_(False), jnp.bool_(True))
+        wacc = eng.mixed_fold_pass(u1c, u2c, wacc, jnp.bool_(True),
+                                   jnp.float32(0.0))
+        for c, (ia, ib) in enumerate(PAIRS):
+            u1c = eng.build_u_single(u1c, q2hat, jnp.int32(ia),
+                                     jnp.int32(ib), jnp.bool_(True),
+                                     jnp.bool_(False))
+            u2c = eng.build_u_single(u2c, q2hat, jnp.int32(ia),
+                                     jnp.int32(ib), jnp.bool_(False),
+                                     jnp.bool_(False))
+            wacc = eng.mixed_fold_pass(u1c, u2c, wacc, jnp.bool_(False),
+                                       jnp.float32(PAIR_W[c]))
+        del u1c, u2c, q2hat
+        q32hat = eng.spec_fft2(wacc)
+        del wacc
+        g32 = growth(cosmo.GrowingMode_3LPT_2, z0out)
+        u_v = eng.build_u_first(u_v, q32hat, *g32, source="spec")
+        stream_rows("v32", u_v)
+        del q32hat
+    elif q2hat is not None:
+        del q2hat
+    del u_v, idx_dev
+    ex.shutdown(wait=True)
+    timings["lpt"] = time.perf_counter() - t0
+
+    sp = SparseProducts(N=N, ci=ci_all, F=F_all, vel=vel, sorted_by="ci")
+    products = Products(Fmax=F_host, Rmax=None, vel={})
+    return FmaxResult(products=products, smoothing=sm, grid=eng.grid,
+                      kdensity=None, host_products=sp, timings=timings)

@@ -114,3 +114,65 @@ def generate_kdensity(grid: Grid, cosmo: Cosmology, seed: int,
     return _kdensity_jit(key, logk_tab, logpk_tab,
                          jnp.float32(math.log10(kf)), jnp.float32(fac),
                          grid.N, bool(fixed), bool(paired))
+
+
+# ------------------------------------------------------------------
+# kz-plane generator for the out-of-core (>= 1024^3) engine: the staged
+# fmax never holds the full delta(k) — each pass regenerates the kz
+# planes it needs.  Draws use a key folded per kz plane, so any plane
+# batching (and any device layout) reproduces the same field; the
+# realization differs from generate_kdensity's (same statistics, same
+# math contract, GenIC.c:188-446).
+# ------------------------------------------------------------------
+
+def kdensity_plane_fn(grid: Grid, cosmo: Cosmology, seed: int,
+                      fixed: bool = False, paired: bool = False):
+    """Returns a traceable f(kz: int32 scalar) -> [N, N] complex64
+    producing delta(k) for one kz plane, safe to call inside jit/scan."""
+    logk_tab, logpk_tab = pk_table(cosmo, grid)
+    base_key = jax.random.PRNGKey(seed)
+    N = grid.N
+    kf = 2.0 * math.pi / grid.BoxSize
+    logkf = jnp.float32(math.log10(kf))
+    fac = jnp.float32(grid.BoxSize ** -1.5 * float(N) ** 3)
+    half = N // 2
+
+    ix = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    iy = jnp.arange(N, dtype=jnp.int32).reshape(1, N)
+    mx = jnp.where(ix <= half, ix, ix - N)
+    my = jnp.where(iy <= half, iy, iy - N)
+    # Hermitian mirror within the kz=0 plane (GenIC.c:293-368)
+    dep0 = (ix > half) | ((ix == 0) & (iy > half))
+    mix = ((N - ix) % N).astype(jnp.int32)
+    miy = ((N - iy) % N).astype(jnp.int32)
+
+    def plane(kz):
+        kz = jnp.asarray(kz, jnp.int32)
+        key = jax.random.fold_in(base_key, kz)
+        kp, ka = jax.random.split(key)
+        phase = jax.random.uniform(kp, (N, N), jnp.float32,
+                                   0.0, 2.0 * np.pi)
+        ampl = jax.random.uniform(ka, (N, N), jnp.float32,
+                                  minval=1.1754944e-38, maxval=1.0)
+        m2 = (mx * mx + my * my).astype(jnp.int32) + kz * kz
+        alive = (~((jnp.abs(mx) == half) | (jnp.abs(my) == half)
+                   | (kz == half))
+                 & (m2 > 0) & (m2 <= half * half))
+        logkm = logkf + 0.5 * jnp.log10(
+            jnp.maximum(m2, 1).astype(jnp.float32))
+
+        is0 = kz == 0
+        ph = jnp.where(is0 & dep0, phase[mix, miy], phase)
+        am = jnp.where(is0 & dep0, ampl[mix, miy], ampl)
+        sign = jnp.where(is0 & dep0, -1.0, 1.0).astype(jnp.float32)
+
+        pofk = 10.0 ** jnp.interp(logkm, logk_tab, logpk_tab)
+        if not fixed:
+            pofk = pofk * (-jnp.log(am))
+        if paired:
+            ph = ph + np.pi
+        amp = jnp.where(alive, fac * jnp.sqrt(pofk), 0.0)
+        return (amp * jnp.cos(ph)
+                + 1j * (sign * amp * jnp.sin(ph))).astype(jnp.complex64)
+
+    return plane

@@ -65,11 +65,44 @@ def device_hbm_bytes() -> float:
     return None
 
 
+def ooc_device_peak(params: Params) -> float:
+    """Device peak of the out-of-core engine (fmax_ooc.py module
+    ledger): the collapse-cycle phase dominates — the 6-component
+    half-transform stack plus the Fmax grid, both in reduced precision
+    on accelerators."""
+    N = params.GridSize
+    Nh = N // 2 + 1
+    store = 2 if params.ooc_dtype in (None, "bfloat16", "float16") else 4
+    u = 6 * 2 * Nh * float(N) ** 2 * store
+    fmax = float(N) ** 3 * 2
+    return u + fmax
+
+
+def ooc_selected(params: Params, n_chips: int = 1,
+                 cosmo: Cosmology = None) -> bool:
+    """Whether the pipeline will use the out-of-core fmax engine:
+    explicit params.ooc, or auto when the monolithic device peak exceeds
+    HBM and the configuration is in the engine's coverage."""
+    from .fmax_ooc import ooc_supported
+    if params.ooc == "on":
+        return True
+    if params.ooc != "auto" or n_chips > 1 or not ooc_supported(params):
+        return False
+    if params.ReadProductsFromDumps:
+        return False
+    if cosmo is not None and getattr(cosmo, "scale_dep", False):
+        return False
+    rep = plan(params, n_chips=n_chips, verbose=False, cosmo=cosmo)
+    return not rep["fits_hbm"]
+
+
 def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
          subboxes: int = None, verbose: bool = True,
-         cosmo: Cosmology = None) -> dict:
+         cosmo: Cosmology = None, ooc: bool = False) -> dict:
     """Full memory/decomposition forecast. Returns a report dict; prints
-    the reference-style per-array map when verbose (allocations.c:274-311)."""
+    the reference-style per-array map when verbose (allocations.c:274-311).
+    ooc=True models the out-of-core engine's device peak instead of the
+    monolithic one."""
     import numpy as np
     if cosmo is None:
         cosmo = Cosmology(params)
@@ -129,6 +162,13 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
     device_total = max(loop_total, lpt_total)
     device_peak_phase = ("collapse cycle" if loop_total >= lpt_total
                          else "LPT displacements")
+    if ooc:
+        device_total = ooc_device_peak(params)
+        device_peak_phase = "ooc cycle (u stack + Fmax)"
+        loop_phase = dict(half_transforms=device_total
+                          - float(N) ** 3 * 2,
+                          fmax=float(N) ** 3 * 2)
+        lpt_phase = loop_phase
 
     # ---- fragmentation (host) ----
     frac = frac0
@@ -215,14 +255,16 @@ def format_memory_map(report: dict, params: Params) -> str:
 
 
 def enforce_budget(params: Params, n_chips: int = 1, verbose: bool = True,
-                   cosmo: Cosmology = None) -> dict:
+                   cosmo: Cosmology = None, ooc: bool = False) -> dict:
     """Pre-flight budget check, called from run_pipeline BEFORE any
     allocation (the analog of organize_main_memory's abort,
     allocations.c:196-204,317-324).  Raises MemoryPlanError with the
     per-array map when the predicted device or host footprint exceeds
-    MaxMem / MaxMemPerParticle / detected HBM."""
+    MaxMem / MaxMemPerParticle / detected HBM.  ooc: the run will use
+    the out-of-core engine, so its bounded ledger is what must fit."""
     import jax
-    report = plan(params, n_chips=n_chips, verbose=False, cosmo=cosmo)
+    report = plan(params, n_chips=n_chips, verbose=False, cosmo=cosmo,
+                  ooc=ooc)
     on_cpu = jax.default_backend() == "cpu"
     problems = []
     if on_cpu:

@@ -44,6 +44,16 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     if write_outputs:
         cosmo.write_cosmology_file(outdir)
 
+    # out-of-core engine selection: explicit params.ooc, or auto when
+    # the monolithic device footprint exceeds HBM (the reference runs
+    # any N^3 on bounded memory, allocations.c:37-251 — fmax_ooc.py is
+    # that contract's TPU analog)
+    from .planner import ooc_selected
+    use_ooc = ooc_selected(params, n_chips=chips or 1, cosmo=cosmo)
+    if verbose and use_ooc:
+        print("[fmax] out-of-core engine selected "
+              "(bounded half-transform working set)")
+
     if enforce_memory:
         # pre-flight memory budget BEFORE any grid allocation: abort with
         # the per-array map when MaxMem / MaxMemPerParticle / HBM are
@@ -51,7 +61,7 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         t0 = time.perf_counter()
         from .planner import enforce_budget, estimate_file_sizes
         enforce_budget(params, n_chips=chips or 1, verbose=verbose,
-                       cosmo=cosmo)
+                       cosmo=cosmo, ooc=use_ooc)
         if verbose and write_outputs:
             estimate_file_sizes(params, cosmo)
         timings["budget"] = time.perf_counter() - t0
@@ -88,6 +98,9 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         fmax_res = run_fmax_distributed(params, cosmo, mesh,
                                         scaledep_gm=scaledep_gm,
                                         verbose=verbose)
+    elif use_ooc:
+        from .fmax_ooc import run_fmax_ooc
+        fmax_res = run_fmax_ooc(params, cosmo, verbose=verbose)
     else:
         fmax_res = run_fmax(params, cosmo, scaledep_gm=scaledep_gm,
                             verbose=verbose)

@@ -1,0 +1,132 @@
+"""Out-of-core fmax engine (fmax_ooc.py) vs the monolithic engine.
+
+The ooc engine defines its realization through the per-kz-plane key fold
+(ic.kdensity_plane_fn), so the oracle assembles the SAME delta(k) from
+those planes and feeds it to the monolithic run_fmax: collapse times,
+variances and displacement rows must agree to transform round-off
+(float32 storage on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ooc_pair(hmf_validation_params, hmf_validation_cosmology):
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    from pinocchio_tpu.grids import Grid
+    from pinocchio_tpu.ic import kdensity_plane_fn
+
+    N = 32
+    p = dataclasses.replace(hmf_validation_params, GridSize=N,
+                            sparse_transfer=False, transfer_f16=False,
+                            ooc_dtype="float32")
+    c = hmf_validation_cosmology
+    r_ooc = run_fmax_ooc(p, c, verbose=False)
+
+    grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
+    plane = kdensity_plane_fn(grid, c, p.RandomSeed)
+    kden = jax.jit(lambda: jax.vmap(plane)(
+        jnp.arange(N // 2 + 1, dtype=jnp.int32)).transpose(1, 2, 0))()
+    r_mono = run_fmax(p, c, kdensity=kden, verbose=False)
+    return p, r_ooc, r_mono
+
+
+def test_ooc_ic_plane_hermitian(hmf_validation_params,
+                                hmf_validation_cosmology):
+    """kz=0 plane of the slab generator obeys d(-k) = conj(d(k)); the
+    realized field is real."""
+    from pinocchio_tpu.grids import Grid
+    from pinocchio_tpu.ic import kdensity_plane_fn
+    N = 16
+    p = dataclasses.replace(hmf_validation_params, GridSize=N)
+    grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
+    plane = kdensity_plane_fn(grid, hmf_validation_cosmology,
+                              p.RandomSeed)
+    d0 = np.asarray(jax.jit(lambda: plane(jnp.int32(0)))())
+    mir = np.conj(d0[(-np.arange(N)) % N][:, (-np.arange(N)) % N])
+    assert np.allclose(d0, mir, atol=1e-6)
+
+
+def test_ooc_fmax_matches_monolithic(ooc_pair):
+    p, r_ooc, r_mono = ooc_pair
+    F_o = np.asarray(r_ooc.products.Fmax)
+    F_m = np.asarray(r_mono.products.Fmax)
+    # same collapse times up to transform round-off; ell_classic has
+    # branch points where ulp-level Hessian differences flip the root
+    # choice, so allow a <0.1% outlier fraction (measured: ~0.03%)
+    d = np.abs(F_o - F_m)
+    assert (d > 0.01).mean() < 1e-3
+    assert np.median(d) < 1e-4
+    assert np.allclose(r_ooc.smoothing.true_variance,
+                       r_mono.smoothing.true_variance, rtol=1e-4)
+
+
+def test_ooc_rows_match_dense_stacks(ooc_pair):
+    p, r_ooc, r_mono = ooc_pair
+    sp = r_ooc.host_products
+    assert sp.sorted_by == "ci"
+    F_m = np.asarray(r_mono.products.Fmax).ravel()
+    sel = np.flatnonzero(F_m >= p.Flast)
+    # needed set agrees up to borderline F round-off
+    sym = np.setxor1d(sp.ci, sel)
+    assert len(sym) <= max(2, 1e-3 * len(sel))
+    common = np.intersect1d(sp.ci, sel)
+    pos = {c: i for i, c in enumerate(sp.ci)}
+    rows = np.array([pos[c] for c in common])
+    for k, v in r_mono.products.vel.items():
+        dense = np.asarray(v).reshape(3, -1)[:, common].T
+        got = sp.vel[k][rows]
+        assert np.allclose(got, dense, rtol=3e-3, atol=3e-3), k
+
+
+def test_ooc_fragmentation_end_to_end(ooc_pair, hmf_validation_cosmology):
+    """Same halos from the ooc products as from the dense monolithic
+    products (borderline-F flips allowed at the per-mille level)."""
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    p, r_ooc, r_mono = ooc_pair
+    c = hmf_validation_cosmology
+    f_o = run_fragmentation(p, c, r_ooc, verbose=False)
+    p_dense = dataclasses.replace(p, sparse_transfer=False)
+    f_m = run_fragmentation(p_dense, c, r_mono, verbose=False)
+    assert abs(f_o.npeaks - f_m.npeaks) <= max(2, 0.01 * f_m.npeaks)
+    for c0, c1 in zip(f_m.catalogs, f_o.catalogs):
+        n0, n1 = len(c0.name), len(c1.name)
+        assert abs(n0 - n1) <= max(2, 0.02 * n0)
+
+
+def test_ooc_refuses_unsupported(hmf_validation_params,
+                                 hmf_validation_cosmology):
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    p = dataclasses.replace(hmf_validation_params, GridSize=32,
+                            ell_model="sng")
+    with pytest.raises(ValueError, match="ELL_CLASSIC"):
+        run_fmax_ooc(p, hmf_validation_cosmology, verbose=False)
+
+
+def test_ooc_pipeline_end_to_end(hmf_validation_params, tmp_path):
+    """run_pipeline with the ooc engine forced: catalogs/mf/histories
+    written, halo counts consistent with the standard engine at the
+    few-percent level (different IC realization by construction)."""
+    import os
+    from pinocchio_tpu.run import run_pipeline
+    p = dataclasses.replace(hmf_validation_params, GridSize=64,
+                            ooc="on", ooc_dtype="float32",
+                            subbox_tasks=2)
+    out = str(tmp_path)
+    res = run_pipeline(p, outdir=out, verbose=False, write_outputs=True)
+    p_std = dataclasses.replace(hmf_validation_params, GridSize=64)
+    res_std = run_pipeline(p_std, outdir=str(tmp_path), verbose=False,
+                           write_outputs=False)
+    for snap, snap_std in zip(res["frag"].catalogs,
+                              res_std["frag"].catalogs):
+        n, n_std = len(snap.name), len(snap_std.name)
+        assert abs(n - n_std) <= max(10, 6 * np.sqrt(n_std) + 0.05 * n_std)
+    assert os.path.exists(os.path.join(
+        out, f"pinocchio.{p.output_z[-1]:6.4f}.{p.RunFlag}.catalog.out"))
+    assert os.path.exists(os.path.join(
+        out, f"pinocchio.{p.RunFlag}.FmaxPDF.out"))
