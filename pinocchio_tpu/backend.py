@@ -28,7 +28,10 @@ def setup(platform: str | None = None,
         jax.config.update("jax_platforms", platform)
     if not _DONE:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even trivial programs: on the tunneled backend a fresh
+        # compile costs a remote roundtrip (tens of seconds) regardless
+        # of program size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _DONE = True
 
 

@@ -102,6 +102,16 @@ class SparseProducts:
     segments: list = None
 
 
+# tiny jitted helpers at module level: a fresh jax.jit wrapper per call
+# would retrace and pay the tunneled backend's compile/cache roundtrip
+# on EVERY run (measured ~30 s for the PDF bincount at 512^3)
+_count_ge = jax.jit(lambda F, Flast: (F.ravel() >= Flast).sum())
+_cast_f16 = jax.jit(lambda x: x.astype(jnp.float16))
+_pdf_bincount = jax.jit(lambda F: jnp.bincount(
+    jnp.clip((F.ravel().astype(jnp.float32) * 10.0).astype(jnp.int32),
+             0, 209), length=210))
+
+
 def _transfer_policy(params):
     """(sparse, f16) transfer switches, defaulting on for accelerators."""
     backend = jax.default_backend()
@@ -382,8 +392,7 @@ class PendingFetch:
         _, self.f16 = _transfer_policy(params)
         N3 = N * N * N
         Flast = jnp.float32(params.Flast)
-        count = int(np.asarray(jax.jit(
-            lambda F: (F.ravel() >= Flast).sum())(Fmax)))
+        count = int(np.asarray(_count_ge(Fmax, Flast)))
         step = max(1, N3 // 16)
         self.cap = (min(N3, ((count + step - 1) // step) * step)
                     if count else step)
@@ -731,8 +740,7 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
 
     def _fetch(v):
         if f16:
-            return np.asarray(jax.jit(
-                lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
+            return np.asarray(_cast_f16(v)).astype(np.float32)
         return np.asarray(v)
 
     growths = growths_at(z0)
@@ -883,8 +891,7 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
     if not sparse:
         def fetch(v):
             if f16:
-                return np.asarray(jax.jit(
-                    lambda x: x.astype(jnp.float16))(v)).astype(np.float32)
+                return np.asarray(_cast_f16(v)).astype(np.float32)
             return np.asarray(v)
         dense = Products(Fmax=np.asarray(prods.Fmax),
                          Rmax=prods.Rmax,
@@ -908,9 +915,7 @@ def fmax_pdf(Fmax, fname: str = None):
     are binned on device (210 counts cross the link, not N^3 floats)."""
     npart = Fmax.size
     if not isinstance(Fmax, np.ndarray):
-        hist = np.asarray(jax.jit(lambda F: jnp.bincount(
-            jnp.clip((F.ravel() * 10.0).astype(jnp.int32), 0, 209),
-            length=210))(Fmax))
+        hist = np.asarray(_pdf_bincount(Fmax))
     else:
         xF = np.clip((np.asarray(Fmax).ravel() * 10.0).astype(int), 0, 209)
         hist = np.bincount(xF, minlength=210)

@@ -50,14 +50,16 @@ def _modes(n):
 
 
 def inv_dft_mat(N, power: int):
-    """W[p, x] = exp(+2pi i p x / N)/N * k(p)^power, k in grid units."""
+    """W[p, x] = exp(+2pi i p x / N)/N * k(p)^power, k in grid units.
+    Returned as (re, im) float32 — complex h2d transfers are
+    UNIMPLEMENTED on the tunneled backend."""
     p = np.arange(N)
     x = np.arange(N)
     ang = 2.0 * np.pi * ((np.outer(p, x) % N)) / N
-    W = (np.cos(ang) + 1j * np.sin(ang)) / N
     k = 2.0 * np.pi * _modes(N) / N
-    return jnp.asarray((k[:, None] ** power if power else 1.0) * W,
-                       jnp.complex64)
+    kp = (k[:, None] ** power if power else np.ones((N, 1))) / N
+    return (jnp.asarray(kp * np.cos(ang), jnp.float32),
+            jnp.asarray(kp * np.sin(ang), jnp.float32))
 
 
 def c2r_bases(N, power: int):
@@ -92,17 +94,20 @@ def hessian_mm(kdensity, R_grid, N):
                 + jnp.matmul(jnp.imag(a), S, precision=PREC))
 
     # x stage: 3 partials, powers 0/1/2 (W already includes /N and k^p);
-    # NB W[p][p_idx, x] maps mode->x, so contract the MODE axis
-    X = {p: jnp.einsum("px,pyz->xyz", WX[p], B, precision=PREC)
+    # NB W[p][p_idx, x] maps mode->x, so contract the MODE axis.
+    # Complex matrices rebuilt on device from their real parts (complex
+    # h2d is unimplemented on this backend).
+    WXC = {p: WX[p][0] + 1j * WX[p][1] for p in (0, 1, 2)}
+    X = {p: jnp.einsum("px,pyz->xyz", WXC[p], B, precision=PREC)
          for p in (0, 1, 2)}
     # y stage
     Y = {}
-    Y[(2, 0)] = jnp.einsum("py,xpz->xyz", WX[0], X[2], precision=PREC)
-    Y[(1, 1)] = jnp.einsum("py,xpz->xyz", WX[1], X[1], precision=PREC)
-    Y[(1, 0)] = jnp.einsum("py,xpz->xyz", WX[0], X[1], precision=PREC)
-    Y[(0, 2)] = jnp.einsum("py,xpz->xyz", WX[2], X[0], precision=PREC)
-    Y[(0, 1)] = jnp.einsum("py,xpz->xyz", WX[1], X[0], precision=PREC)
-    Y[(0, 0)] = jnp.einsum("py,xpz->xyz", WX[0], X[0], precision=PREC)
+    Y[(2, 0)] = jnp.einsum("py,xpz->xyz", WXC[0], X[2], precision=PREC)
+    Y[(1, 1)] = jnp.einsum("py,xpz->xyz", WXC[1], X[1], precision=PREC)
+    Y[(1, 0)] = jnp.einsum("py,xpz->xyz", WXC[0], X[1], precision=PREC)
+    Y[(0, 2)] = jnp.einsum("py,xpz->xyz", WXC[2], X[0], precision=PREC)
+    Y[(0, 1)] = jnp.einsum("py,xpz->xyz", WXC[1], X[0], precision=PREC)
+    Y[(0, 0)] = jnp.einsum("py,xpz->xyz", WXC[0], X[0], precision=PREC)
     # z stage, ider order xx yy zz xy xz yz; signs: (ik_a)(ik_b) = -k_ak_b,
     # and the reference convention is +k_a k_b / k^2 (no i factor), so
     # multiply by -1: (i k_a)(i k_b) -> -(k_a k_b).  The matrices above
