@@ -77,3 +77,31 @@ def test_displacement_field_statistics(fmax_result,
     rms_axis = np.sqrt((v1 ** 2).mean())
     v2 = np.asarray(fmax_result.products.vel["v2"])
     assert np.sqrt((v2 ** 2).mean()) < 0.5 * rms_axis
+
+
+def test_matmul_hessian_matches_fft(hmf_validation_params,
+                                    hmf_validation_cosmology):
+    """The all-matmul Hessian transform (derivatives.use_mm, the TPU
+    collapse-cycle fast path) equals the FFT path to round-off."""
+    import jax
+    import jax.numpy as jnp
+    from pinocchio_tpu.grids import Grid
+    from pinocchio_tpu.ic import generate_kdensity
+    from pinocchio_tpu.ops import derivatives
+
+    N = 32
+    import dataclasses
+    p = dataclasses.replace(hmf_validation_params, GridSize=N)
+    grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
+    kden = generate_kdensity(grid, hmf_validation_cosmology, p.RandomSeed)
+    R = jnp.float32(2.0)
+    ref = np.asarray(derivatives.second_derivatives(kden, R, N))
+    derivatives._MM_FORCE = True
+    try:
+        mm = np.asarray(jax.jit(
+            derivatives._second_derivatives_mm,
+            static_argnames=("N",))(kden, R, N))
+    finally:
+        derivatives._MM_FORCE = None
+    scale = np.abs(ref).max()
+    assert np.abs(mm - ref).max() / scale < 1e-4
