@@ -165,7 +165,14 @@ def main():
         if ipass >= 1 and sorted(pass_times)[1] < 1.1 * engine_s:
             break                 # two passes agree: steady state
 
-    rate, _ = measure_collapse()
+    from pinocchio_tpu.planner import ooc_selected
+    if ooc_selected(params, cosmo=cosmo):
+        # grids beyond the monolithic engine's HBM reach (ooc path):
+        # the dense collapse-phase microbench cannot allocate; the e2e
+        # number above is the story
+        rate = 0.0
+    else:
+        rate, _ = measure_collapse()
 
     # HMF average residual vs the chosen analytic fit (the reference's
     # own validation metric: mean |n/n_fit - 1| over populated bins,
