@@ -95,10 +95,15 @@ def _fzbases(N: int, z0, Bz: int):
 
 
 def _slab_matmul(u_c, C, S, prec):
-    """Real z-slab of one component: u_c [2, Nh, N, N] -> [Bz, N, N]."""
-    re = jnp.einsum("kxy,kb->bxy", u_c[0], C, precision=prec,
+    """Real z-slab of one component: u_c [2, N(x), Nh(kz), N(y)] ->
+    [Bz, N, N].  The kz-contraction runs as a batched matmul over x with
+    kz on the SUBLANE axis — the layout XLA's dot wants, so the u stack
+    is stored that way and no relayout copy of the 13 GB parameter is
+    ever inserted (the [c,r,kz,x,y] ordering OOM'd at 1024^3 on exactly
+    that copy)."""
+    re = jnp.einsum("xky,kb->bxy", u_c[0], C, precision=prec,
                     preferred_element_type=jnp.float32)
-    im = jnp.einsum("kxy,kb->bxy", u_c[1], S, precision=prec,
+    im = jnp.einsum("xky,kb->bxy", u_c[1], S, precision=prec,
                     preferred_element_type=jnp.float32)
     return re + im
 
@@ -144,7 +149,7 @@ class OocEngine:
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def build_u_hessian(self, u, R_grid):
-        """u [6, 2, Nh, N, N] (donated): ifft2(fac_c * delta) per kz
+        """u [6, 2, N, Nh, N] (donated): ifft2(fac_c * delta) per kz
         batch, delta regenerated per plane (no resident spectrum)."""
         N, Nh, B = self.N, self.Nh, self.Bkz
         half = N // 2
@@ -165,8 +170,9 @@ class OocEngine:
                 w = jnp.fft.ifft2(d * facs[c], axes=(1, 2))
                 blk = jnp.stack([jnp.real(w), jnp.imag(w)]
                                 ).astype(self.dtype)          # [2,B,N,N]
+                blk = jnp.transpose(blk, (0, 2, 1, 3))        # [2,N,B,N]
                 u = jax.lax.dynamic_update_slice(u, blk[None],
-                                                 (c, 0, kz0, 0, 0))
+                                                 (c, 0, 0, kz0, 0))
             return u
 
         return jax.lax.fori_loop(0, Nh // B, body, u)
@@ -174,10 +180,10 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self", "source"),
              donate_argnums=(1,))
     def build_u_first(self, u, spec, gtab, glo, gdx, source: str):
-        """u [3, 2, Nh, N, N] (donated): half-transforms of the 3 first
+        """u [3, 2, N, Nh, N] (donated): half-transforms of the 3 first
         derivatives i k_c / k^2 * g(|k|) of a source spectrum.
         source='density': regenerate delta per plane (spec unused);
-        source='spec': read planes of spec [2, Nh, N, N] (store dtype).
+        source='spec': read planes of spec [2, N, Nh, N] (store dtype).
         g: per-|k| growth table over log10 k grid units (scale-dependent
         growth, fmax-pfft.c:344-364); a constant table gives scalar g."""
         N, Nh, B = self.N, self.Nh, self.Bkz
@@ -195,11 +201,12 @@ class OocEngine:
                 d = jax.vmap(self.plane)(kzs)
             else:
                 re = jax.lax.dynamic_slice(
-                    spec, (0, kz0, 0, 0), (1, B, N, N))[0]
+                    spec, (0, 0, kz0, 0), (1, N, B, N))[0]
                 im = jax.lax.dynamic_slice(
-                    spec, (1, kz0, 0, 0), (1, B, N, N))[0]
-                d = (re.astype(jnp.float32)
-                     + 1j * im.astype(jnp.float32))
+                    spec, (1, 0, kz0, 0), (1, N, B, N))[0]
+                d = jnp.transpose(
+                    re.astype(jnp.float32)
+                    + 1j * im.astype(jnp.float32), (1, 0, 2))
             kzv = ((2.0 * jnp.pi / N)
                    * kzs.astype(jnp.float32)).reshape(B, 1, 1)
             k2 = kxp * kxp + kyp * kyp + kzv * kzv
@@ -215,8 +222,9 @@ class OocEngine:
                 w = jnp.fft.ifft2(base * kc, axes=(1, 2))
                 blk = jnp.stack([jnp.real(w), jnp.imag(w)]
                                 ).astype(self.dtype)
+                blk = jnp.transpose(blk, (0, 2, 1, 3))
                 u = jax.lax.dynamic_update_slice(u, blk[None],
-                                                 (c, 0, kz0, 0, 0))
+                                                 (c, 0, 0, kz0, 0))
             return u
 
         return jax.lax.fori_loop(0, Nh // B, body, u)
@@ -224,7 +232,7 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def build_u_single(self, u, spec, ia: jnp.int32, ib: jnp.int32,
                        use_density: jnp.bool_, fac_one: jnp.bool_):
-        """u [2, Nh, N, N] (donated): ONE Hessian component k_ia k_ib/k^2
+        """u [2, N, Nh, N] (donated): ONE Hessian component k_ia k_ib/k^2
         of either the density (regenerated) or a resident spectrum —
         the 3LPT-b pair-folding workhorse.  fac_one=True instead applies
         factor 1 (the field itself: trace term tr(phi,ij) = delta, and
@@ -242,11 +250,13 @@ class OocEngine:
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             d_gen = jax.vmap(self.plane)(kzs)
-            re = jax.lax.dynamic_slice(spec, (0, kz0, 0, 0),
-                                       (1, B, N, N))[0]
-            im = jax.lax.dynamic_slice(spec, (1, kz0, 0, 0),
-                                       (1, B, N, N))[0]
-            d_spec = re.astype(jnp.float32) + 1j * im.astype(jnp.float32)
+            re = jax.lax.dynamic_slice(spec, (0, 0, kz0, 0),
+                                       (1, N, B, N))[0]
+            im = jax.lax.dynamic_slice(spec, (1, 0, kz0, 0),
+                                       (1, N, B, N))[0]
+            d_spec = jnp.transpose(
+                re.astype(jnp.float32) + 1j * im.astype(jnp.float32),
+                (1, 0, 2))
             d = jnp.where(use_density, d_gen, d_spec)
             kzv = ((2.0 * jnp.pi / N)
                    * kzs.astype(jnp.float32)).reshape(B, 1, 1)
@@ -259,7 +269,8 @@ class OocEngine:
             fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
             w = jnp.fft.ifft2(d * fac, axes=(1, 2))
             blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(self.dtype)
-            return jax.lax.dynamic_update_slice(u, blk, (0, kz0, 0, 0))
+            blk = jnp.transpose(blk, (0, 2, 1, 3))
+            return jax.lax.dynamic_update_slice(u, blk, (0, 0, kz0, 0))
 
         return jax.lax.fori_loop(0, Nh // B, body, u)
 
@@ -340,7 +351,7 @@ class OocEngine:
     def mixed_fold_pass(self, u1c, u2c, wacc, first: jnp.bool_,
                         weight):
         """One component-pair of the 3LPT-b source, accumulated DIRECTLY
-        in its forward-z spectrum wacc [2, Nh, N, N] f32:
+        in its forward-z spectrum wacc [2, N, Nh, N] f32:
           contribution(x) = first ? 2*tr(sd)*q2(x) : 0  - 2*w*phi2_c*phi1_c
         where on the 'first' call u1c/u2c are the TRACE half-transform of
         sd and the q2 half-transform (LPT.c:89-141)."""
@@ -355,10 +366,10 @@ class OocEngine:
                                 -2.0 * weight * a * b)
             FC, FS = _fzbases(N, z0, Bz)
             return wacc + jnp.stack([
-                jnp.einsum("bxy,bk->kxy", contrib, FC,
+                jnp.einsum("bxy,bk->xky", contrib, FC,
                            precision=self.prec,
                            preferred_element_type=jnp.float32),
-                jnp.einsum("bxy,bk->kxy", contrib, FS,
+                jnp.einsum("bxy,bk->xky", contrib, FS,
                            precision=self.prec,
                            preferred_element_type=jnp.float32)])
 
@@ -367,7 +378,7 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
     def real_to_spec(self, q, out):
         """Dense real field [N, N, N] (z minor) -> spectrum
-        [2, Nh, N, N] (donated out, store dtype): rfft over z in
+        [2, N, Nh, N] (donated out, store dtype): rfft over z in
         x-batches, then fft2 per kz batch — the staged forward
         counterpart of pass A."""
         N = self.N
@@ -378,41 +389,42 @@ class OocEngine:
             sl = jax.lax.dynamic_slice(q, (x0, 0, 0), (Bx, N, N))
             w = jnp.fft.rfft(sl.astype(jnp.float32), axis=2)  # [Bx,N,Nh]
             blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(out.dtype)
-            blk = jnp.transpose(blk, (0, 3, 1, 2))            # [2,Nh,Bx,N]
-            return jax.lax.dynamic_update_slice(out, blk, (0, 0, x0, 0))
+            blk = jnp.transpose(blk, (0, 1, 3, 2))            # [2,Bx,Nh,N]
+            return jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
 
         out = jax.lax.fori_loop(0, N // Bx, zpass, out)
         return self._spec_fft2_body(out, out.dtype)
 
     def _spec_fft2_body(self, w, out_dtype):
         """fft2 over (x, y) per kz batch, in place on w's buffer layout
-        [2, Nh, N, N] (traceable helper shared by real_to_spec /
+        [2, N, Nh, N] (traceable helper shared by real_to_spec /
         spec_fft2)."""
         N, Nh, B = self.N, self.Nh, self.Bkz
 
         def fpass(i, w):
             kz0 = i * B
-            re = jax.lax.dynamic_slice(w, (0, kz0, 0, 0), (1, B, N, N))
-            im = jax.lax.dynamic_slice(w, (1, kz0, 0, 0), (1, B, N, N))
+            re = jax.lax.dynamic_slice(w, (0, 0, kz0, 0), (1, N, B, N))
+            im = jax.lax.dynamic_slice(w, (1, 0, kz0, 0), (1, N, B, N))
+            # [N(x), B(kz), N(y)]: transform the (x, y) axes per plane
             f = jnp.fft.fft2(re[0].astype(jnp.float32)
                              + 1j * im[0].astype(jnp.float32),
-                             axes=(1, 2))
+                             axes=(0, 2))
             blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(w.dtype)
-            return jax.lax.dynamic_update_slice(w, blk, (0, kz0, 0, 0))
+            return jax.lax.dynamic_update_slice(w, blk, (0, 0, kz0, 0))
 
         w = jax.lax.fori_loop(0, Nh // B, fpass, w)
         return w.astype(out_dtype)
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def spec_fft2(self, w):
-        """Finish a forward-z-accumulated spectrum (f32 [2, Nh, N, N])
+        """Finish a forward-z-accumulated spectrum (f32 [2, N, Nh, N])
         with the (x, y) fft2; returns the store-dtype spectrum."""
         return self._spec_fft2_body(w, self.dtype)
 
     @partial(jax.jit, static_argnames=("self",))
     def vrows_slab(self, u, idx_all, j):
         """Needed rows of one displacement stack for z-slab j: u
-        [3, 2, Nh, N, N] -> gather rows [cap, 3] wire-dtype via
+        [3, 2, N, Nh, N] -> gather rows [cap, 3] wire-dtype via
         idx_all[j] (int32 indices into the slab's [Bz, N, N] C-order
         flattening; padded tail rows are junk the host drops)."""
         N, Bz = self.N, self.Bz
@@ -490,7 +502,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     t0 = time.perf_counter()
     radii_grid = sm.radii / eng.grid.CellSize
     packs = inverse_growth_packs(cosmo, sm)
-    u = jnp.zeros((6, 2, Nh, N, N), eng.dtype)
+    u = jnp.zeros((6, 2, N, Nh, N), eng.dtype)
     Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
     stats = []
     for ism in range(sm.n):
@@ -603,14 +615,14 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
             land(j, f)
 
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
-    u_v = jnp.zeros((3, 2, Nh, N, N), eng.dtype)
+    u_v = jnp.zeros((3, 2, N, Nh, N), eng.dtype)
     g1 = growth(cosmo.GrowingMode, z0out)
     u_v = eng.build_u_first(u_v, dummy, *g1, source="density")
     stream_rows("v1", u_v)
 
     q2hat = None
     if lpt_order >= 2:
-        q2hat = eng.real_to_spec(q2, jnp.zeros((2, Nh, N, N), eng.dtype))
+        q2hat = eng.real_to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
         del q2
         g2 = growth(cosmo.GrowingMode_2LPT, z0out)
         u_v = eng.build_u_first(u_v, q2hat, *g2, source="spec")
@@ -623,7 +635,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         q31d = jax.device_put(q31h)
         del q31h
         q31hat = eng.real_to_spec(q31d,
-                                  jnp.zeros((2, Nh, N, N), eng.dtype))
+                                  jnp.zeros((2, N, Nh, N), eng.dtype))
         del q31d
         g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
         u_v = eng.build_u_first(u_v, q31hat, *g31, source="spec")
@@ -631,9 +643,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         del q31hat
 
         # 3LPT-b: fold the mixed invariant one component-pair at a time
-        wacc = jnp.zeros((2, Nh, N, N), jnp.float32)
-        u1c = jnp.zeros((2, Nh, N, N), eng.dtype)
-        u2c = jnp.zeros((2, Nh, N, N), eng.dtype)
+        wacc = jnp.zeros((2, N, Nh, N), jnp.float32)
+        u1c = jnp.zeros((2, N, Nh, N), eng.dtype)
+        u2c = jnp.zeros((2, N, Nh, N), eng.dtype)
         # NB build_u_single's source switch is traced (one executable
         # for all folds), so the unused spec operand must be real-shaped
         u1c = eng.build_u_single(u1c, q2hat, jnp.int32(0), jnp.int32(0),
