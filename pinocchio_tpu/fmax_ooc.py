@@ -178,7 +178,7 @@ class OocEngine:
         return jax.lax.fori_loop(0, Nh // B, body, u)
 
     @partial(jax.jit, static_argnames=("self", "source"),
-             donate_argnums=(1,))
+             donate_argnums=(1, 2))
     def build_u_first(self, u, spec, gtab, glo, gdx, source: str):
         """u [3, 2, N, Nh, N] (donated): half-transforms of the 3 first
         derivatives i k_c / k^2 * g(|k|) of a source spectrum.
@@ -194,7 +194,8 @@ class OocEngine:
         kxp = kx1.reshape(N, 1)
         kyp = kx1.reshape(1, N)
 
-        def body(i, u):
+        def body(i, carry):
+            u, spec = carry
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             if source == "density":
@@ -225,11 +226,11 @@ class OocEngine:
                 blk = jnp.transpose(blk, (0, 2, 1, 3))
                 u = jax.lax.dynamic_update_slice(u, blk[None],
                                                  (c, 0, 0, kz0, 0))
-            return u
+            return u, spec
 
-        return jax.lax.fori_loop(0, Nh // B, body, u)
+        return jax.lax.fori_loop(0, Nh // B, body, (u, spec))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def build_u_single(self, u, spec, ia: jnp.int32, ib: jnp.int32,
                        use_density: jnp.bool_, fac_one: jnp.bool_):
         """u [2, N, Nh, N] (donated): ONE Hessian component k_ia k_ib/k^2
@@ -246,7 +247,8 @@ class OocEngine:
         kxp = jnp.broadcast_to(kx1.reshape(1, N, 1), (1, N, 1))
         kyp = kx1.reshape(1, 1, N)
 
-        def body(i, u):
+        def body(i, carry):
+            u, spec = carry
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             d_gen = jax.vmap(self.plane)(kzs)
@@ -270,22 +272,26 @@ class OocEngine:
             w = jnp.fft.ifft2(d * fac, axes=(1, 2))
             blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(self.dtype)
             blk = jnp.transpose(blk, (0, 2, 1, 3))
-            return jax.lax.dynamic_update_slice(u, blk, (0, 0, kz0, 0))
+            u = jax.lax.dynamic_update_slice(u, blk, (0, 0, kz0, 0))
+            return u, spec
 
-        return jax.lax.fori_loop(0, Nh // B, body, u)
+        return jax.lax.fori_loop(0, Nh // B, body, (u, spec))
 
     # ---------------- pass B: z-slab consumers -------------------------
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def cycle_pass_b(self, u, Fmax, pack):
         """One radius of the collapse cycle over z-slabs: Fmax (donated,
-        self.fdtype) updated in place; returns (Fmax, davg, dvar).
+        self.fdtype) updated in place; returns (u, Fmax, davg, dvar).
+        u is donated and passed back untouched: as a closed-over loop
+        constant XLA materialized a full 12 GB copy of it at 1024^3;
+        aliased in/out through the carry it stays in place.
         Rmax is not tracked — nothing in the catalog pipeline reads it
         (the sweep never does; fmax.py fetch_products_host docstring)."""
         N, Bz = self.N, self.Bz
 
         def body(j, carry):
-            Fmax, s1, s2 = carry
+            u, Fmax, s1, s2 = carry
             z0 = j * Bz
             C, S = _zbases(N, z0, Bz, self.dtype)
             sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
@@ -304,32 +310,34 @@ class OocEngine:
             Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
             m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
             m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
-            return Fmax, s1 + m1, s2 + m2
+            return u, Fmax, s1 + m1, s2 + m2
 
         nsl = N // Bz
-        Fmax, s1, s2 = jax.lax.fori_loop(
-            0, nsl, body, (Fmax, jnp.float32(0.0), jnp.float32(0.0)))
-        return Fmax, s1 / nsl, s2 / nsl
+        u, Fmax, s1, s2 = jax.lax.fori_loop(
+            0, nsl, body, (u, Fmax, jnp.float32(0.0), jnp.float32(0.0)))
+        return u, Fmax, s1 / nsl, s2 / nsl
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def q2_pass(self, u, q2):
         """2LPT source from the R=0 Hessian stack u, written DENSE on
         device [N, N, N] store dtype, z minor (LPT.c:70-76).  Fits the
         ledger: u (12.9) + q2 (2.15) at 1024^3."""
         N, Bz = self.N, self.Bz
 
-        def body(j, q2):
+        def body(j, carry):
+            u, q2 = carry
             z0 = j * Bz
             C, S = _zbases(N, z0, Bz, self.dtype)
             sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
             xx, yy, zz, xy, xz, yz = sd
             src2 = (xx * yy + xx * zz + yy * zz
                     - xy * xy - xz * xz - yz * yz)
-            return jax.lax.dynamic_update_slice(
+            q2 = jax.lax.dynamic_update_slice(
                 q2, jnp.transpose(src2, (1, 2, 0)).astype(self.dtype),
                 (0, 0, z0))
+            return u, q2
 
-        return jax.lax.fori_loop(0, N // Bz, body, q2)
+        return jax.lax.fori_loop(0, N // Bz, body, (u, q2))
 
     @partial(jax.jit, static_argnames=("self",))
     def q31_slab(self, u, z0):
@@ -347,7 +355,8 @@ class OocEngine:
         # [Bz, N, N] -> [N, N, Bz]: host concatenates along z (minor)
         return jnp.transpose(src31, (1, 2, 0)).astype(self.fdtype)
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(3,))
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnums=(1, 2, 3))
     def mixed_fold_pass(self, u1c, u2c, wacc, first: jnp.bool_,
                         weight):
         """One component-pair of the 3LPT-b source, accumulated DIRECTLY
@@ -357,7 +366,8 @@ class OocEngine:
         sd and the q2 half-transform (LPT.c:89-141)."""
         N, Bz = self.N, self.Bz
 
-        def body(j, wacc):
+        def body(j, carry):
+            u1c, u2c, wacc = carry
             z0 = j * Bz
             C, S = _zbases(N, z0, Bz, self.dtype)
             a = _slab_matmul(u1c, C, S, self.prec)
@@ -365,17 +375,18 @@ class OocEngine:
             contrib = jnp.where(first, 2.0 * a * b,
                                 -2.0 * weight * a * b)
             FC, FS = _fzbases(N, z0, Bz)
-            return wacc + jnp.stack([
+            wacc = wacc + jnp.stack([
                 jnp.einsum("bxy,bk->xky", contrib, FC,
                            precision=self.prec,
                            preferred_element_type=jnp.float32),
                 jnp.einsum("bxy,bk->xky", contrib, FS,
                            precision=self.prec,
                            preferred_element_type=jnp.float32)])
+            return u1c, u2c, wacc
 
-        return jax.lax.fori_loop(0, N // Bz, body, wacc)
+        return jax.lax.fori_loop(0, N // Bz, body, (u1c, u2c, wacc))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def real_to_spec(self, q, out):
         """Dense real field [N, N, N] (z minor) -> spectrum
         [2, N, Nh, N] (donated out, store dtype): rfft over z in
@@ -384,15 +395,17 @@ class OocEngine:
         N = self.N
         Bx = _divisor_batch(N, 32)
 
-        def zpass(i, out):
+        def zpass(i, carry):
+            q, out = carry
             x0 = i * Bx
             sl = jax.lax.dynamic_slice(q, (x0, 0, 0), (Bx, N, N))
             w = jnp.fft.rfft(sl.astype(jnp.float32), axis=2)  # [Bx,N,Nh]
             blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(out.dtype)
             blk = jnp.transpose(blk, (0, 1, 3, 2))            # [2,Bx,Nh,N]
-            return jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
+            out = jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
+            return q, out
 
-        out = jax.lax.fori_loop(0, N // Bx, zpass, out)
+        q, out = jax.lax.fori_loop(0, N // Bx, zpass, (q, out))
         return self._spec_fft2_body(out, out.dtype)
 
     def _spec_fft2_body(self, w, out_dtype):
@@ -507,8 +520,8 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     stats = []
     for ism in range(sm.n):
         u = eng.build_u_hessian(u, jnp.float32(radii_grid[ism]))
-        Fmax, m1, m2 = eng.cycle_pass_b(u, Fmax,
-                                        jnp.asarray(packs[ism]))
+        u, Fmax, m1, m2 = eng.cycle_pass_b(u, Fmax,
+                                           jnp.asarray(packs[ism]))
         stats.append((m1, m2))
     for ism, (m1, m2) in enumerate(stats):
         sm.true_variance[ism] = float(np.asarray(m2))   # syncs the cycle
@@ -527,7 +540,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     lpt_order = params.lpt_order
     q2 = None
     if lpt_order >= 2:
-        q2 = eng.q2_pass(u, jnp.zeros((N, N, N), eng.dtype))
+        u, q2 = eng.q2_pass(u, jnp.zeros((N, N, N), eng.dtype))
     q31_parts = []
     if lpt_order >= 3:
         futs = []
@@ -617,7 +630,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
     u_v = jnp.zeros((3, 2, N, Nh, N), eng.dtype)
     g1 = growth(cosmo.GrowingMode, z0out)
-    u_v = eng.build_u_first(u_v, dummy, *g1, source="density")
+    u_v, dummy = eng.build_u_first(u_v, dummy, *g1, source="density")
     stream_rows("v1", u_v)
 
     q2hat = None
@@ -625,7 +638,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         q2hat = eng.real_to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
         del q2
         g2 = growth(cosmo.GrowingMode_2LPT, z0out)
-        u_v = eng.build_u_first(u_v, q2hat, *g2, source="spec")
+        u_v, q2hat = eng.build_u_first(u_v, q2hat, *g2, source="spec")
         stream_rows("v2", u_v)
 
     if lpt_order >= 3:
@@ -638,7 +651,8 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
                                   jnp.zeros((2, N, Nh, N), eng.dtype))
         del q31d
         g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
-        u_v = eng.build_u_first(u_v, q31hat, *g31, source="spec")
+        u_v, q31hat = eng.build_u_first(u_v, q31hat, *g31,
+                                         source="spec")
         stream_rows("v31", u_v)
         del q31hat
 
@@ -648,26 +662,33 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         u2c = jnp.zeros((2, N, Nh, N), eng.dtype)
         # NB build_u_single's source switch is traced (one executable
         # for all folds), so the unused spec operand must be real-shaped
-        u1c = eng.build_u_single(u1c, q2hat, jnp.int32(0), jnp.int32(0),
-                                 jnp.bool_(True), jnp.bool_(True))
-        u2c = eng.build_u_single(u2c, q2hat, jnp.int32(0), jnp.int32(0),
-                                 jnp.bool_(False), jnp.bool_(True))
-        wacc = eng.mixed_fold_pass(u1c, u2c, wacc, jnp.bool_(True),
-                                   jnp.float32(0.0))
+        u1c, q2hat = eng.build_u_single(u1c, q2hat, jnp.int32(0),
+                                        jnp.int32(0), jnp.bool_(True),
+                                        jnp.bool_(True))
+        u2c, q2hat = eng.build_u_single(u2c, q2hat, jnp.int32(0),
+                                        jnp.int32(0), jnp.bool_(False),
+                                        jnp.bool_(True))
+        u1c, u2c, wacc = eng.mixed_fold_pass(u1c, u2c, wacc,
+                                             jnp.bool_(True),
+                                             jnp.float32(0.0))
         for c, (ia, ib) in enumerate(PAIRS):
-            u1c = eng.build_u_single(u1c, q2hat, jnp.int32(ia),
-                                     jnp.int32(ib), jnp.bool_(True),
-                                     jnp.bool_(False))
-            u2c = eng.build_u_single(u2c, q2hat, jnp.int32(ia),
-                                     jnp.int32(ib), jnp.bool_(False),
-                                     jnp.bool_(False))
-            wacc = eng.mixed_fold_pass(u1c, u2c, wacc, jnp.bool_(False),
-                                       jnp.float32(PAIR_W[c]))
+            u1c, q2hat = eng.build_u_single(u1c, q2hat, jnp.int32(ia),
+                                            jnp.int32(ib),
+                                            jnp.bool_(True),
+                                            jnp.bool_(False))
+            u2c, q2hat = eng.build_u_single(u2c, q2hat, jnp.int32(ia),
+                                            jnp.int32(ib),
+                                            jnp.bool_(False),
+                                            jnp.bool_(False))
+            u1c, u2c, wacc = eng.mixed_fold_pass(u1c, u2c, wacc,
+                                                 jnp.bool_(False),
+                                                 jnp.float32(PAIR_W[c]))
         del u1c, u2c, q2hat
         q32hat = eng.spec_fft2(wacc)
         del wacc
         g32 = growth(cosmo.GrowingMode_3LPT_2, z0out)
-        u_v = eng.build_u_first(u_v, q32hat, *g32, source="spec")
+        u_v, q32hat = eng.build_u_first(u_v, q32hat, *g32,
+                                         source="spec")
         stream_rows("v32", u_v)
         del q32hat
     elif q2hat is not None:
