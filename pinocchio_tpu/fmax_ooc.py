@@ -11,19 +11,32 @@ Key identity: with delta(k) on the rfft layout [N, N, Nh],
 
     f(x, y, z) = sum_kz basis(kz, z) * ifft2(fac(k) * delta)(x, y, kz)
 
-so each field needs one [Nh, N, N] complex intermediate u ("half
-transform", built kz-plane by kz-plane with delta REGENERATED on the fly
-— ic.kdensity_plane_fn, no resident delta) and real space is recovered
-per z-slab as two MXU matmuls against cos/sin bases (backend.py zmm).
+so each field needs one [N, Nh, N] pair of re/im half transforms (built
+kz-plane by kz-plane with delta REGENERATED on the fly —
+ic.kdensity_plane_fn, no resident delta) and real space is recovered per
+z-slab as two MXU matmuls against cos/sin bases (backend.py zmm).
 
-Memory ledger at 1024^3 (bf16 storage, decimal GB; 15 GiB usable
-measured):
-  cycle:   u1 (6 comps)  12.9 + Fmax f16 2.15          = 15.05
-  2LPT:    u1 12.9 + q2 dense 2.15                     = 15.05
-  3LPT-b:  folded one component-pair at a time          <= 10.8
-  (q31 round-trips through the host; the 3LPT-b mixed invariant
-   sum_ij w phi2,ij phi1,ij accumulates per PAIR so the two full
-   Hessian stacks never coexist.)
+Each (component, re/im) half transform is its OWN device array, and the
+z-slab CONSUMERS are per-slab Python-level jit calls, not fori loops.
+Two compile-probed rules of this backend's buffer assignment drive that
+shape (all numbers AOT memory_analysis at 1024^3):
+  * slicing a monolithic [6, 2, N, Nh, N] stack materializes the slice
+    as a ~2 GiB temp per component;
+  * a dot that reads a loop-CARRIED array makes XLA hoist a FULL COPY
+    of the stack out of the while loop (+12.19 GiB — instant OOM),
+    while dynamic_slice reads and dynamic_update_slice writes of
+    carried arrays alias in place (so the BUILD passes stay fori), and
+    plain-argument dot reads in a top-level jit are free.
+
+Memory ledger at 1024^3 (bf16 storage, GiB; 15.75 usable measured):
+  cycle:    us (12 arrays) 12.04 + Fmax f16 2.00 + 0.6 temp = 14.6
+  2LPT:     us 12.04 + q2 (ALIASES the retired Fmax buffer)  = 14.3
+  3LPT-a:   q31 z-slabs round-trip through the HOST
+  3LPT-b:   w re/im f32 4.02 + q2hat 2.01 + u1/u2 4.01
+            + fold temps ~2.3                               ~ 12.3
+  v-streams: u_v (6) 6.01 + 3 spectra 6.03 + idx ~2.6       ~ 14.9
+The fold therefore runs BEFORE the displacement stack u_v exists, and
+every spectrum is deleted as soon as its stream lands.
 
 Collapse model: ELL_CLASSIC (the HMF_Validation/headline config).  The
 tabulated/SNG models and RECOMPUTE segments keep the monolithic engine —
@@ -67,10 +80,6 @@ def _divisor_batch(n: int, target: int) -> int:
     return best
 
 
-def _store(x, dtype):
-    return x.astype(dtype)
-
-
 def _zbases(N: int, z0, Bz: int, dtype):
     """c2r bases C, S [Nh, Bz] for output planes z0..z0+Bz-1 (traced z0),
     mod-N angle reduction for f32 fidelity (backend._zdft_bases)."""
@@ -94,24 +103,32 @@ def _fzbases(N: int, z0, Bz: int):
     return jnp.cos(ang), -jnp.sin(ang)
 
 
-def _slab_matmul(u_c, C, S, prec):
-    """Real z-slab of one component: u_c [2, N(x), Nh(kz), N(y)] ->
+def _slab_matmul(ure, uim, C, S, prec):
+    """Real z-slab of one component: ure/uim [N(x), Nh(kz), N(y)] ->
     [Bz, N, N].  The kz-contraction runs as a batched matmul over x with
-    kz on the SUBLANE axis — the layout XLA's dot wants, so the u stack
-    is stored that way and no relayout copy of the 13 GB parameter is
-    ever inserted (the [c,r,kz,x,y] ordering OOM'd at 1024^3 on exactly
-    that copy)."""
-    re = jnp.einsum("xky,kb->bxy", u_c[0], C, precision=prec,
+    kz on the SUBLANE axis — the layout XLA's dot wants, so each half
+    transform is stored that way and read as a WHOLE array (slices of a
+    stacked operand would materialize; module docstring)."""
+    re = jnp.einsum("xky,kb->bxy", ure, C, precision=prec,
                     preferred_element_type=jnp.float32)
-    im = jnp.einsum("xky,kb->bxy", u_c[1], S, precision=prec,
+    im = jnp.einsum("xky,kb->bxy", uim, S, precision=prec,
                     preferred_element_type=jnp.float32)
     return re + im
+
+
+def _consume6(us, C, S, prec):
+    """The six Hessian z-slab fields from the flat 12-tuple us
+    (re_c = us[2c], im_c = us[2c+1])."""
+    return [_slab_matmul(us[2 * c], us[2 * c + 1], C, S, prec)
+            for c in range(6)]
 
 
 class OocEngine:
     """One out-of-core fmax run.  All jitted members are shaped by
     (N, Bkz, Bz, dtype) only, so every radius / source reuses the same
-    executables."""
+    executables.  Half-transform stacks are FLAT TUPLES of [N, Nh, N]
+    arrays (12 for the Hessian, 6 for first derivatives, 2 for a single
+    component): whole arrays alias in place through loop carries."""
 
     def __init__(self, params: Params, cosmo: Cosmology,
                  verbose: bool = True):
@@ -136,6 +153,11 @@ class OocEngine:
         self.sm = Smoothing.build(params, cosmo)
         self.timings: Dict[str, float] = {}
 
+    def zeros_stack(self, ncomp: int):
+        """Fresh flat tuple of 2*ncomp half-transform arrays."""
+        return tuple(jnp.zeros((self.N, self.Nh, self.N), self.dtype)
+                     for _ in range(2 * ncomp))
+
     # ---------------- pass A: build half-transform stacks -------------
 
     def _facs_hessian(self, kxp, kyp, kzv, R_grid):
@@ -148,8 +170,8 @@ class OocEngine:
         return [(kvec[a] * kvec[b]) * smooth for a, b in PAIRS]
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def build_u_hessian(self, u, R_grid):
-        """u [6, 2, N, Nh, N] (donated): ifft2(fac_c * delta) per kz
+    def build_u_hessian(self, us, R_grid):
+        """us: flat 12-tuple (donated): ifft2(fac_c * delta) per kz
         batch, delta regenerated per plane (no resident spectrum)."""
         N, Nh, B = self.N, self.Nh, self.Bkz
         half = N // 2
@@ -159,28 +181,33 @@ class OocEngine:
         kxp = kx1.reshape(N, 1)
         kyp = kx1.reshape(1, N)
 
-        def body(i, u):
+        def body(i, us):
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             d = jax.vmap(self.plane)(kzs)          # [B, N, N] c64
             kzv = ((2.0 * jnp.pi / N)
                    * kzs.astype(jnp.float32)).reshape(B, 1, 1)
             facs = self._facs_hessian(kxp, kyp, kzv, R_grid)
+            out = list(us)
             for c in range(6):
                 w = jnp.fft.ifft2(d * facs[c], axes=(1, 2))
-                blk = jnp.stack([jnp.real(w), jnp.imag(w)]
-                                ).astype(self.dtype)          # [2,B,N,N]
-                blk = jnp.transpose(blk, (0, 2, 1, 3))        # [2,N,B,N]
-                u = jax.lax.dynamic_update_slice(u, blk[None],
-                                                 (c, 0, 0, kz0, 0))
-            return u
+                # [B, N, N] -> [N(x), B(kz), N(y)]
+                wre = jnp.transpose(jnp.real(w), (1, 0, 2)
+                                    ).astype(self.dtype)
+                wim = jnp.transpose(jnp.imag(w), (1, 0, 2)
+                                    ).astype(self.dtype)
+                out[2 * c] = jax.lax.dynamic_update_slice(
+                    out[2 * c], wre, (0, kz0, 0))
+                out[2 * c + 1] = jax.lax.dynamic_update_slice(
+                    out[2 * c + 1], wim, (0, kz0, 0))
+            return tuple(out)
 
-        return jax.lax.fori_loop(0, Nh // B, body, u)
+        return jax.lax.fori_loop(0, Nh // B, body, us)
 
     @partial(jax.jit, static_argnames=("self", "source"),
              donate_argnums=(1, 2))
-    def build_u_first(self, u, spec, gtab, glo, gdx, source: str):
-        """u [3, 2, N, Nh, N] (donated): half-transforms of the 3 first
+    def build_u_first(self, us, spec, gtab, glo, gdx, source: str):
+        """us: flat 6-tuple (donated): half-transforms of the 3 first
         derivatives i k_c / k^2 * g(|k|) of a source spectrum.
         source='density': regenerate delta per plane (spec unused);
         source='spec': read planes of spec [2, N, Nh, N] (store dtype).
@@ -195,7 +222,7 @@ class OocEngine:
         kyp = kx1.reshape(1, N)
 
         def body(i, carry):
-            u, spec = carry
+            us, spec = carry
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             if source == "density":
@@ -219,26 +246,31 @@ class OocEngine:
             wt = t - it.astype(jnp.float32)
             g = gtab[it] * (1.0 - wt) + gtab[it + 1] * wt
             base = d * (1j * (inv * g))
+            out = list(us)
             for c, kc in enumerate((kxp, kyp, kzv)):
                 w = jnp.fft.ifft2(base * kc, axes=(1, 2))
-                blk = jnp.stack([jnp.real(w), jnp.imag(w)]
-                                ).astype(self.dtype)
-                blk = jnp.transpose(blk, (0, 2, 1, 3))
-                u = jax.lax.dynamic_update_slice(u, blk[None],
-                                                 (c, 0, 0, kz0, 0))
-            return u, spec
+                wre = jnp.transpose(jnp.real(w), (1, 0, 2)
+                                    ).astype(self.dtype)
+                wim = jnp.transpose(jnp.imag(w), (1, 0, 2)
+                                    ).astype(self.dtype)
+                out[2 * c] = jax.lax.dynamic_update_slice(
+                    out[2 * c], wre, (0, kz0, 0))
+                out[2 * c + 1] = jax.lax.dynamic_update_slice(
+                    out[2 * c + 1], wim, (0, kz0, 0))
+            return tuple(out), spec
 
-        return jax.lax.fori_loop(0, Nh // B, body, (u, spec))
+        return jax.lax.fori_loop(0, Nh // B, body, (us, spec))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def build_u_single(self, u, spec, ia: jnp.int32, ib: jnp.int32,
-                       use_density: jnp.bool_, fac_one: jnp.bool_):
-        """u [2, N, Nh, N] (donated): ONE Hessian component k_ia k_ib/k^2
-        of either the density (regenerated) or a resident spectrum —
-        the 3LPT-b pair-folding workhorse.  fac_one=True instead applies
-        factor 1 (the field itself: trace term tr(phi,ij) = delta, and
-        q2 for the 2 tr(sd) q2 product).  All flags traced so the 6x2+2
-        combinations share one executable."""
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3))
+    def build_u_single(self, ure, uim, spec, ia: jnp.int32,
+                       ib: jnp.int32, use_density: jnp.bool_,
+                       fac_one: jnp.bool_):
+        """(ure, uim) [N, Nh, N] (donated): ONE Hessian component
+        k_ia k_ib / k^2 of either the density (regenerated) or a resident
+        spectrum — the 3LPT-b pair-folding workhorse.  fac_one=True
+        instead applies factor 1 (the field itself: trace term
+        tr(phi,ij) = delta, and q2 for the 2 tr(sd) q2 product).  All
+        flags traced so the 6x2+2 combinations share one executable."""
         N, Nh, B = self.N, self.Nh, self.Bkz
         half = N // 2
         ix = jnp.arange(N, dtype=jnp.int32)
@@ -248,7 +280,7 @@ class OocEngine:
         kyp = kx1.reshape(1, 1, N)
 
         def body(i, carry):
-            u, spec = carry
+            ure, uim, spec = carry
             kz0 = i * B
             kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
             d_gen = jax.vmap(self.plane)(kzs)
@@ -270,84 +302,73 @@ class OocEngine:
                             jnp.broadcast_to(kzv, (B, N, N))])
             fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
             w = jnp.fft.ifft2(d * fac, axes=(1, 2))
-            blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(self.dtype)
-            blk = jnp.transpose(blk, (0, 2, 1, 3))
-            u = jax.lax.dynamic_update_slice(u, blk, (0, 0, kz0, 0))
-            return u, spec
+            wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
+            wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
+            ure = jax.lax.dynamic_update_slice(ure, wre, (0, kz0, 0))
+            uim = jax.lax.dynamic_update_slice(uim, wim, (0, kz0, 0))
+            return ure, uim, spec
 
-        return jax.lax.fori_loop(0, Nh // B, body, (u, spec))
+        return jax.lax.fori_loop(0, Nh // B, body, (ure, uim, spec))
 
     # ---------------- pass B: z-slab consumers -------------------------
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def cycle_pass_b(self, u, Fmax, pack):
-        """One radius of the collapse cycle over z-slabs: Fmax (donated,
-        self.fdtype) updated in place; returns (u, Fmax, davg, dvar).
-        u is donated and passed back untouched: as a closed-over loop
-        constant XLA materialized a full 12 GB copy of it at 1024^3;
-        aliased in/out through the carry it stays in place.
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2, 3, 4))
+    def cycle_slab(self, us, Fmax, s1, s2, pack, z0):
+        """ONE z-slab of one collapse-cycle radius: Fmax and the delta
+        moment accumulators (all donated) updated in place; us is read
+        as plain arguments.  A Python-level slab loop, NOT a fori: a dot
+        that reads a loop-CARRIED array makes this backend materialize a
+        full copy of the stack (12 GiB at 1024^3 — measured), while
+        plain-argument reads are free (module docstring).
         Rmax is not tracked — nothing in the catalog pipeline reads it
         (the sweep never does; fmax.py fetch_products_host docstring)."""
         N, Bz = self.N, self.Bz
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        sd = _consume6(us, C, S, self.prec)
+        delta = sd[0] + sd[1] + sd[2]
+        l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
+        bc = collapse.ell_classic(l1, l2, l3)
+        loga = collapse.eval_inverse_growth(
+            pack, jnp.log10(jnp.maximum(bc, 1e-30)))
+        F = jnp.where(bc > 0.0,
+                      jnp.exp2(-3.321928094887362 * loga), 0.0)
+        F = jnp.where(fail, -10.0, F)
+        # [Bz, N, N] -> Fmax slab layout [N, N, Bz] (z minor)
+        Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
+        Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
+        Fsl = jnp.maximum(Fsl, Fnew)
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
+        m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
+        m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
+        return Fmax, s1 + m1, s2 + m2
 
-        def body(j, carry):
-            u, Fmax, s1, s2 = carry
-            z0 = j * Bz
-            C, S = _zbases(N, z0, Bz, self.dtype)
-            sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
-            delta = sd[0] + sd[1] + sd[2]
-            l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
-            bc = collapse.ell_classic(l1, l2, l3)
-            loga = collapse.eval_inverse_growth(
-                pack, jnp.log10(jnp.maximum(bc, 1e-30)))
-            F = jnp.where(bc > 0.0,
-                          jnp.exp2(-3.321928094887362 * loga), 0.0)
-            F = jnp.where(fail, -10.0, F)
-            # [Bz, N, N] -> Fmax slab layout [N, N, Bz] (z minor)
-            Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
-            Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
-            Fsl = jnp.maximum(Fsl, Fnew)
-            Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
-            m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
-            m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
-            return u, Fmax, s1 + m1, s2 + m2
-
-        nsl = N // Bz
-        u, Fmax, s1, s2 = jax.lax.fori_loop(
-            0, nsl, body, (u, Fmax, jnp.float32(0.0), jnp.float32(0.0)))
-        return u, Fmax, s1 / nsl, s2 / nsl
-
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def q2_pass(self, u, q2):
-        """2LPT source from the R=0 Hessian stack u, written DENSE on
-        device [N, N, N] store dtype, z minor (LPT.c:70-76).  Fits the
-        ledger: u (12.9) + q2 (2.15) at 1024^3."""
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    def q2_slab(self, us, q2, z0):
+        """ONE z-slab of the 2LPT source from the R=0 Hessian stack us,
+        written DENSE on device [N, N, N] in the WIRE dtype (fdtype), z
+        minor (LPT.c:70-76).  The caller donates the retired Fmax buffer
+        as q2's storage — same shape + dtype, so it aliases and the 2LPT
+        phase allocates NOTHING (module ledger).  Python-level slab loop
+        for the same carried-dot-read reason as cycle_slab."""
         N, Bz = self.N, self.Bz
-
-        def body(j, carry):
-            u, q2 = carry
-            z0 = j * Bz
-            C, S = _zbases(N, z0, Bz, self.dtype)
-            sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
-            xx, yy, zz, xy, xz, yz = sd
-            src2 = (xx * yy + xx * zz + yy * zz
-                    - xy * xy - xz * xz - yz * yz)
-            q2 = jax.lax.dynamic_update_slice(
-                q2, jnp.transpose(src2, (1, 2, 0)).astype(self.dtype),
-                (0, 0, z0))
-            return u, q2
-
-        return jax.lax.fori_loop(0, N // Bz, body, (u, q2))
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        sd = _consume6(us, C, S, self.prec)
+        xx, yy, zz, xy, xz, yz = sd
+        src2 = (xx * yy + xx * zz + yy * zz
+                - xy * xy - xz * xz - yz * yz)
+        return jax.lax.dynamic_update_slice(
+            q2, jnp.transpose(src2, (1, 2, 0)).astype(self.fdtype),
+            (0, 0, z0))
 
     @partial(jax.jit, static_argnames=("self",))
-    def q31_slab(self, u, z0):
+    def q31_slab(self, us, z0):
         """One z-slab of the 3LPT-a source 3*det(phi,ij) (LPT.c:79-87),
         [Bz, N, N] in the wire dtype — the dense field round-trips
         through the HOST because no third N^3 device buffer fits next to
-        u + q2 at 1024^3 (module ledger)."""
+        us + q2 at 1024^3 (module ledger)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
-        sd = [_slab_matmul(u[c], C, S, self.prec) for c in range(6)]
+        sd = _consume6(us, C, S, self.prec)
         xx, yy, zz, xy, xz, yz = sd
         src31 = 3.0 * (xx * (yy * zz - yz * yz)
                        - xy * (xy * zz - xz * yz)
@@ -355,36 +376,32 @@ class OocEngine:
         # [Bz, N, N] -> [N, N, Bz]: host concatenates along z (minor)
         return jnp.transpose(src31, (1, 2, 0)).astype(self.fdtype)
 
-    @partial(jax.jit, static_argnames=("self",),
-             donate_argnums=(1, 2, 3))
-    def mixed_fold_pass(self, u1c, u2c, wacc, first: jnp.bool_,
-                        weight):
-        """One component-pair of the 3LPT-b source, accumulated DIRECTLY
-        in its forward-z spectrum wacc [2, N, Nh, N] f32:
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(5, 6))
+    def fold_slab(self, u1re, u1im, u2re, u2im, wre, wim,
+                  first: jnp.bool_, weight, z0):
+        """ONE z-slab of one component-pair of the 3LPT-b source,
+        accumulated DIRECTLY in its forward-z spectrum (wre, wim)
+        [N, Nh, N] f32 (donated — SEPARATE re/im arrays so each add
+        aliases in place; a stacked [2, ...] accumulator cost a 4 GiB
+        stack temp at 1024^3):
           contribution(x) = first ? 2*tr(sd)*q2(x) : 0  - 2*w*phi2_c*phi1_c
-        where on the 'first' call u1c/u2c are the TRACE half-transform of
-        sd and the q2 half-transform (LPT.c:89-141)."""
+        where on the 'first' call u1/u2 are the TRACE half-transform of
+        sd and the q2 half-transform (LPT.c:89-141).  Python-level slab
+        loop: carried-dot-reads copy (cycle_slab docstring)."""
         N, Bz = self.N, self.Bz
-
-        def body(j, carry):
-            u1c, u2c, wacc = carry
-            z0 = j * Bz
-            C, S = _zbases(N, z0, Bz, self.dtype)
-            a = _slab_matmul(u1c, C, S, self.prec)
-            b = _slab_matmul(u2c, C, S, self.prec)
-            contrib = jnp.where(first, 2.0 * a * b,
-                                -2.0 * weight * a * b)
-            FC, FS = _fzbases(N, z0, Bz)
-            wacc = wacc + jnp.stack([
-                jnp.einsum("bxy,bk->xky", contrib, FC,
-                           precision=self.prec,
-                           preferred_element_type=jnp.float32),
-                jnp.einsum("bxy,bk->xky", contrib, FS,
-                           precision=self.prec,
-                           preferred_element_type=jnp.float32)])
-            return u1c, u2c, wacc
-
-        return jax.lax.fori_loop(0, N // Bz, body, (u1c, u2c, wacc))
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        a = _slab_matmul(u1re, u1im, C, S, self.prec)
+        b = _slab_matmul(u2re, u2im, C, S, self.prec)
+        contrib = jnp.where(first, 2.0 * a * b,
+                            -2.0 * weight * a * b)
+        FC, FS = _fzbases(N, z0, Bz)
+        wre = wre + jnp.einsum("bxy,bk->xky", contrib, FC,
+                               precision=self.prec,
+                               preferred_element_type=jnp.float32)
+        wim = wim + jnp.einsum("bxy,bk->xky", contrib, FS,
+                               precision=self.prec,
+                               preferred_element_type=jnp.float32)
+        return wre, wim
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def real_to_spec(self, q, out):
@@ -428,24 +445,39 @@ class OocEngine:
         w = jax.lax.fori_loop(0, Nh // B, fpass, w)
         return w.astype(out_dtype)
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def spec_fft2(self, w):
-        """Finish a forward-z-accumulated spectrum (f32 [2, N, Nh, N])
-        with the (x, y) fft2; returns the store-dtype spectrum."""
-        return self._spec_fft2_body(w, self.dtype)
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3))
+    def spec_fft2_pair(self, wre, wim, out):
+        """Finish a forward-z-accumulated spectrum (separate f32 re/im
+        [N, Nh, N] arrays, donated) with the (x, y) fft2 into the
+        store-dtype spectrum out [2, N, Nh, N] (donated).  fori with
+        dynamic_slice reads only — the alias-clean pattern."""
+        N, Nh, B = self.N, self.Nh, self.Bkz
+
+        def fpass(i, carry):
+            wre, wim, out = carry
+            kz0 = i * B
+            re = jax.lax.dynamic_slice(wre, (0, kz0, 0), (N, B, N))
+            im = jax.lax.dynamic_slice(wim, (0, kz0, 0), (N, B, N))
+            f = jnp.fft.fft2(re + 1j * im, axes=(0, 2))
+            blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(out.dtype)
+            out = jax.lax.dynamic_update_slice(out, blk, (0, 0, kz0, 0))
+            return wre, wim, out
+
+        return jax.lax.fori_loop(0, Nh // B, fpass, (wre, wim, out))[2]
 
     @partial(jax.jit, static_argnames=("self",))
-    def vrows_slab(self, u, idx_all, j):
-        """Needed rows of one displacement stack for z-slab j: u
-        [3, 2, N, Nh, N] -> gather rows [cap, 3] wire-dtype via
-        idx_all[j] (int32 indices into the slab's [Bz, N, N] C-order
-        flattening; padded tail rows are junk the host drops)."""
+    def vrows_slab(self, us, idx_all, j):
+        """Needed rows of one displacement stack for z-slab j: us (flat
+        6-tuple) -> gather rows [cap, 3] wire-dtype via idx_all[j]
+        (int32 indices into the slab's [Bz, N, N] C-order flattening;
+        padded tail rows are junk the host drops)."""
         N, Bz = self.N, self.Bz
         cap = idx_all.shape[1]
         idx = jax.lax.dynamic_slice(idx_all, (j, 0), (1, cap))[0]
         z0 = j * Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
-        comps = [_slab_matmul(u[c], C, S, self.prec).reshape(-1)
+        comps = [_slab_matmul(us[2 * c], us[2 * c + 1], C, S,
+                              self.prec).reshape(-1)
                  for c in range(3)]
         rows = jnp.stack([c[idx] for c in comps], axis=1)
         return rows.astype(self.fdtype)
@@ -515,16 +547,22 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     t0 = time.perf_counter()
     radii_grid = sm.radii / eng.grid.CellSize
     packs = inverse_growth_packs(cosmo, sm)
-    u = jnp.zeros((6, 2, N, Nh, N), eng.dtype)
+    us = eng.zeros_stack(6)
     Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
+    nsl = N // eng.Bz
     stats = []
     for ism in range(sm.n):
-        u = eng.build_u_hessian(u, jnp.float32(radii_grid[ism]))
-        u, Fmax, m1, m2 = eng.cycle_pass_b(u, Fmax,
-                                           jnp.asarray(packs[ism]))
-        stats.append((m1, m2))
+        us = eng.build_u_hessian(us, jnp.float32(radii_grid[ism]))
+        pack = jnp.asarray(packs[ism])
+        s1, s2 = np.float32(0.0), np.float32(0.0)
+        for j in range(nsl):
+            Fmax, s1, s2 = eng.cycle_slab(us, Fmax, s1, s2, pack,
+                                          jnp.int32(j * eng.Bz))
+        stats.append((s1, s2))
     for ism, (m1, m2) in enumerate(stats):
-        sm.true_variance[ism] = float(np.asarray(m2))   # syncs the cycle
+        # syncs the cycle; the per-slab loop accumulates SUMS of slab
+        # means, so normalize by the slab count here
+        sm.true_variance[ism] = float(np.asarray(m2)) / nsl
         if verbose:
             print(f"  smoothing {ism + 1}/{sm.n}: "
                   f"R={sm.radii[ism]:9.5f} expected sigma "
@@ -533,33 +571,35 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
                   flush=True)
     timings["fmax_loop"] = time.perf_counter() - t0
 
-    # ---- products: Fmax to host, needed-cell prep -------------------
+    # ---- Fmax to host, then its buffer becomes q2 -------------------
     t0 = time.perf_counter()
-    f_fut = ex.submit(np.asarray, Fmax)      # 2 B/cell, rides the link
-    # ---- LPT sources from the R=0 Hessians (still in u) -------------
+    F_host = np.asarray(Fmax)    # must COMPLETE before q2 overwrites it
     lpt_order = params.lpt_order
     q2 = None
     if lpt_order >= 2:
-        u, q2 = eng.q2_pass(u, jnp.zeros((N, N, N), eng.dtype))
+        # q2 is stored in the wire dtype so the retired Fmax buffer
+        # (same shape + dtype) aliases as its storage: the 2LPT phase
+        # fits next to the 12-array us stack without a fresh N^3 alloc
+        q2, Fmax = Fmax, None
+        for j in range(nsl):
+            q2 = eng.q2_slab(us, q2, jnp.int32(j * eng.Bz))
+    del Fmax
     q31_parts = []
     if lpt_order >= 3:
         futs = []
         for j in range(N // eng.Bz):
-            sl = eng.q31_slab(u, jnp.int32(j * eng.Bz))
+            sl = eng.q31_slab(us, jnp.int32(j * eng.Bz))
             futs.append(ex.submit(np.asarray, sl))
             while len([f for f in futs if not f.done()]) > 3:
                 time.sleep(0.005)
         q31_parts = [f.result() for f in futs]
-    del u                                     # free the Hessian stack
-    F_host = f_fut.result()
-    Fmax = None
+    del us                                    # free the Hessian stack
     timings["sources"] = time.perf_counter() - t0
 
     # host-side needed-cell prep (overlaps the device v-phases below
     # only through the transfer threads; numpy here is the 2-vCPU host)
     t0 = time.perf_counter()
-    flast = np.float16(params.Flast) if F_host.dtype == np.float16 \
-        else np.float32(params.Flast)
+    flast = np.asarray(params.Flast, F_host.dtype)
     mask3 = F_host >= flast
     Bz = eng.Bz
     nsl = N // Bz
@@ -579,6 +619,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
             np.transpose(F_host[:, :, z0:z0 + Bz], (2, 0, 1)))
         f_parts.append(fsl.ravel()[li].astype(np.float32))
         del msl, fsl
+    del mask3
     ci_all = np.concatenate(ci_parts)
     F_all = np.concatenate(f_parts)
     del ci_parts, f_parts
@@ -587,28 +628,87 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     idx_pad = np.zeros((nsl, cap), np.int32)
     for j, li in enumerate(loc_idx):
         idx_pad[j, :len(li)] = li
-    idx_dev = jax.device_put(idx_pad)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    del loc_idx, idx_pad
+    del loc_idx
     timings["needed_prep"] = time.perf_counter() - t0
     if verbose:
         print(f"  ooc products: {ntot}/{N ** 3} needed particles "
               f"({100.0 * ntot / N ** 3:.1f}%), slab cap {cap}",
               flush=True)
 
-    # ---- displacement row streaming ---------------------------------
+    # ---- LPT sources (fold BEFORE the u_v stack exists: ledger) -----
     t0 = time.perf_counter()
-    vel: Dict[str, np.ndarray] = {}
+    z0out = params.zlast
 
     def growth(order_fn, z):
         return _const_gtab(float(order_fn(z)))
 
-    z0out = params.zlast
+    q2hat = None
+    if lpt_order >= 2:
+        q2hat = eng.real_to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
+        del q2
+
+    q32hat = None
+    if lpt_order >= 3:
+        # 3LPT-b: fold the mixed invariant one component-pair at a time.
+        # Runs while NO displacement stack exists — the f32 re/im
+        # accumulators (4 GiB at 1024^3) + the two component pairs +
+        # q2hat is the phase peak.
+        wre = jnp.zeros((N, Nh, N), jnp.float32)
+        wim = jnp.zeros((N, Nh, N), jnp.float32)
+        u1re = jnp.zeros((N, Nh, N), eng.dtype)
+        u1im = jnp.zeros((N, Nh, N), eng.dtype)
+        u2re = jnp.zeros((N, Nh, N), eng.dtype)
+        u2im = jnp.zeros((N, Nh, N), eng.dtype)
+        def fold_all(wre, wim, u1re, u1im, u2re, u2im, first, weight):
+            for j in range(nsl):
+                wre, wim = eng.fold_slab(u1re, u1im, u2re, u2im,
+                                         wre, wim, np.bool_(first),
+                                         np.float32(weight),
+                                         jnp.int32(j * eng.Bz))
+            return wre, wim
+
+        u1re, u1im, q2hat = eng.build_u_single(
+            u1re, u1im, q2hat, jnp.int32(0), jnp.int32(0),
+            jnp.bool_(True), jnp.bool_(True))
+        u2re, u2im, q2hat = eng.build_u_single(
+            u2re, u2im, q2hat, jnp.int32(0), jnp.int32(0),
+            jnp.bool_(False), jnp.bool_(True))
+        wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
+                            True, 0.0)
+        for c, (ia, ib) in enumerate(PAIRS):
+            u1re, u1im, q2hat = eng.build_u_single(
+                u1re, u1im, q2hat, jnp.int32(ia), jnp.int32(ib),
+                jnp.bool_(True), jnp.bool_(False))
+            u2re, u2im, q2hat = eng.build_u_single(
+                u2re, u2im, q2hat, jnp.int32(ia), jnp.int32(ib),
+                jnp.bool_(False), jnp.bool_(False))
+            wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
+                                False, PAIR_W[c])
+        del u1re, u1im, u2re, u2im
+        q32hat = eng.spec_fft2_pair(
+            wre, wim, jnp.zeros((2, N, Nh, N), eng.dtype))
+        del wre, wim
+
+    q31hat = None
+    if lpt_order >= 3:
+        # 3LPT-a: det source round-trips via the host
+        q31h = np.concatenate(q31_parts, axis=2)
+        del q31_parts
+        q31d = jax.device_put(q31h)
+        del q31h
+        q31hat = eng.real_to_spec(q31d,
+                                  jnp.zeros((2, N, Nh, N), eng.dtype))
+        del q31d
+
+    # ---- displacement row streaming ---------------------------------
+    idx_dev = jax.device_put(idx_pad)
+    del idx_pad
+    vel: Dict[str, np.ndarray] = {}
 
     def stream_rows(key, u_v):
         buf = np.empty((ntot, 3), np.float32)
         vel[key] = buf
-        futs = []
 
         def land(j, fut):
             rows = fut.result()
@@ -628,71 +728,26 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
             land(j, f)
 
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
-    u_v = jnp.zeros((3, 2, N, Nh, N), eng.dtype)
+    u_v = eng.zeros_stack(3)
     g1 = growth(cosmo.GrowingMode, z0out)
     u_v, dummy = eng.build_u_first(u_v, dummy, *g1, source="density")
     stream_rows("v1", u_v)
 
-    q2hat = None
     if lpt_order >= 2:
-        q2hat = eng.real_to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
-        del q2
         g2 = growth(cosmo.GrowingMode_2LPT, z0out)
         u_v, q2hat = eng.build_u_first(u_v, q2hat, *g2, source="spec")
         stream_rows("v2", u_v)
+    del q2hat
 
     if lpt_order >= 3:
-        # 3LPT-a: det source round-trips via the host
-        q31h = np.concatenate(q31_parts, axis=2)
-        del q31_parts
-        q31d = jax.device_put(q31h)
-        del q31h
-        q31hat = eng.real_to_spec(q31d,
-                                  jnp.zeros((2, N, Nh, N), eng.dtype))
-        del q31d
         g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
-        u_v, q31hat = eng.build_u_first(u_v, q31hat, *g31,
-                                         source="spec")
+        u_v, q31hat = eng.build_u_first(u_v, q31hat, *g31, source="spec")
         stream_rows("v31", u_v)
         del q31hat
-
-        # 3LPT-b: fold the mixed invariant one component-pair at a time
-        wacc = jnp.zeros((2, N, Nh, N), jnp.float32)
-        u1c = jnp.zeros((2, N, Nh, N), eng.dtype)
-        u2c = jnp.zeros((2, N, Nh, N), eng.dtype)
-        # NB build_u_single's source switch is traced (one executable
-        # for all folds), so the unused spec operand must be real-shaped
-        u1c, q2hat = eng.build_u_single(u1c, q2hat, jnp.int32(0),
-                                        jnp.int32(0), jnp.bool_(True),
-                                        jnp.bool_(True))
-        u2c, q2hat = eng.build_u_single(u2c, q2hat, jnp.int32(0),
-                                        jnp.int32(0), jnp.bool_(False),
-                                        jnp.bool_(True))
-        u1c, u2c, wacc = eng.mixed_fold_pass(u1c, u2c, wacc,
-                                             jnp.bool_(True),
-                                             jnp.float32(0.0))
-        for c, (ia, ib) in enumerate(PAIRS):
-            u1c, q2hat = eng.build_u_single(u1c, q2hat, jnp.int32(ia),
-                                            jnp.int32(ib),
-                                            jnp.bool_(True),
-                                            jnp.bool_(False))
-            u2c, q2hat = eng.build_u_single(u2c, q2hat, jnp.int32(ia),
-                                            jnp.int32(ib),
-                                            jnp.bool_(False),
-                                            jnp.bool_(False))
-            u1c, u2c, wacc = eng.mixed_fold_pass(u1c, u2c, wacc,
-                                                 jnp.bool_(False),
-                                                 jnp.float32(PAIR_W[c]))
-        del u1c, u2c, q2hat
-        q32hat = eng.spec_fft2(wacc)
-        del wacc
         g32 = growth(cosmo.GrowingMode_3LPT_2, z0out)
-        u_v, q32hat = eng.build_u_first(u_v, q32hat, *g32,
-                                         source="spec")
+        u_v, q32hat = eng.build_u_first(u_v, q32hat, *g32, source="spec")
         stream_rows("v32", u_v)
         del q32hat
-    elif q2hat is not None:
-        del q2hat
     del u_v, idx_dev
     ex.shutdown(wait=True)
     timings["lpt"] = time.perf_counter() - t0
