@@ -16,27 +16,30 @@ kz-plane by kz-plane with delta REGENERATED on the fly —
 ic.kdensity_plane_fn, no resident delta) and real space is recovered per
 z-slab as two MXU matmuls against cos/sin bases (backend.py zmm).
 
-Each (component, re/im) half transform is its OWN device array, and the
-z-slab CONSUMERS are per-slab Python-level jit calls, not fori loops.
-Two compile-probed rules of this backend's buffer assignment drive that
-shape (all numbers AOT memory_analysis at 1024^3):
-  * slicing a monolithic [6, 2, N, Nh, N] stack materializes the slice
-    as a ~2 GiB temp per component;
-  * a dot that reads a loop-CARRIED array makes XLA hoist a FULL COPY
-    of the stack out of the while loop (+12.19 GiB — instant OOM),
-    while dynamic_slice reads and dynamic_update_slice writes of
-    carried arrays alias in place (so the BUILD passes stay fori), and
-    plain-argument dot reads in a top-level jit are free.
+EVERY device program here is a SHORT per-batch top-level jit call driven
+by a Python loop — no monolithic fori programs, and no XLA FFTs on the
+hot path.  Three facts measured on the tunneled v5e force that shape:
+  * the worker KILLS long-running single programs (a 57-iteration build
+    fori, ~70 s of device time, crashes it; 4 iterations run fine);
+  * a dot that reads a loop-CARRIED array makes XLA hoist a FULL COPY of
+    the stack out of the while loop (+12.19 GiB at 1024^3 — instant
+    OOM), while plain-argument dot reads in a top-level jit are free,
+    and slicing a monolithic [6, 2, N, Nh, N] stack materializes ~2 GiB
+    temps per component (hence flat tuples of whole [N, Nh, N] arrays);
+  * MXU matmul DFTs at precision HIGH beat XLA's c64 FFT by >10x on
+    these shapes (ops/derivatives._second_derivatives_mm measured 3.1x
+    at 512^3 where the FFT was already batched; the per-batch [9, N, N]
+    ifft2 here is ~1 s vs ~30 ms as 2 complex matmuls).
 
 Memory ledger at 1024^3 (bf16 storage, GiB; 15.75 usable measured):
-  cycle:    us (12 arrays) 12.04 + Fmax f16 2.00 + 0.6 temp = 14.6
+  cycle:    us (12 arrays) 12.04 + Fmax f16 2.00 + temps    ~ 14.7
   2LPT:     us 12.04 + q2 (ALIASES the retired Fmax buffer)  = 14.3
   3LPT-a:   q31 z-slabs round-trip through the HOST
   3LPT-b:   w re/im f32 4.02 + q2hat 2.01 + u1/u2 4.01
             + fold temps ~2.3                               ~ 12.3
   v-streams: u_v (6) 6.01 + 3 spectra 6.03 + idx ~2.6       ~ 14.9
-The fold therefore runs BEFORE the displacement stack u_v exists, and
-every spectrum is deleted as soon as its stream lands.
+The 3LPT-b fold therefore runs BEFORE the displacement stack u_v
+exists, and every spectrum is deleted as soon as its stream lands.
 
 Collapse model: ELL_CLASSIC (the HMF_Validation/headline config).  The
 tabulated/SNG models and RECOMPUTE segments keep the monolithic engine —
@@ -70,6 +73,10 @@ from .ops import collapse
 PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
 PAIR_W = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)   # 3LPT-b off-diagonal weights
 
+# complex matmul-DFT precision: HIGH measured 3.4e-5 max err at 512^3,
+# DEFAULT only 14% faster but 150x less accurate (ops/derivatives)
+_PREC = jax.lax.Precision.HIGH
+
 
 def _divisor_batch(n: int, target: int) -> int:
     """Largest divisor of n that is <= target (>=1)."""
@@ -78,6 +85,51 @@ def _divisor_batch(n: int, target: int) -> int:
         if n % b == 0:
             best = b
     return best
+
+
+def _dft_inv(N: int):
+    """Inverse-DFT matrix exp(+2 pi i j k / N) / N as one c64 [N, N],
+    built on device from iotas (complex h2d is unimplemented on the
+    tunneled backend), mod-N angle reduction for f32 fidelity."""
+    j = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    k = jnp.arange(N, dtype=jnp.int32).reshape(1, N)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((j * k) % N, jnp.float32)
+    return (jnp.cos(ang) + 1j * jnp.sin(ang)) / N
+
+
+def _dft_fwd(N: int):
+    """Forward-DFT matrix exp(-2 pi i j k / N) as one c64 [N, N]."""
+    j = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    k = jnp.arange(N, dtype=jnp.int32).reshape(1, N)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((j * k) % N, jnp.float32)
+    return jnp.cos(ang) - 1j * jnp.sin(ang)
+
+
+def _rfftz_mats(N: int):
+    """Forward rfft bases over z as separate f32 (cos, -sin) [N, Nh]
+    mats (the real-input z-transform of real_to_spec)."""
+    Nh = N // 2 + 1
+    z = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    k = jnp.arange(Nh, dtype=jnp.int32).reshape(1, Nh)
+    ang = (2.0 * jnp.pi / N) * jnp.asarray((z * k) % N, jnp.float32)
+    return jnp.cos(ang), -jnp.sin(ang)
+
+
+def _mm_ifft2(d):
+    """Inverse DFT over axes (1, 2) of d [B, N, N] c64 via 2 complex
+    MXU matmuls (precision HIGH)."""
+    N = d.shape[1]
+    W = _dft_inv(N)
+    a = jnp.einsum("xj,bjy->bxy", W, d, precision=_PREC)
+    return jnp.einsum("bxj,jy->bxy", a, W, precision=_PREC)
+
+
+def _mm_fft2_xy(d):
+    """Forward DFT over axes (0, 2) of d [N(x), B, N(y)] c64."""
+    N = d.shape[0]
+    W = _dft_fwd(N)
+    a = jnp.einsum("jx,jby->xby", W, d, precision=_PREC)
+    return jnp.einsum("xbj,jy->xby", a, W, precision=_PREC)
 
 
 def _zbases(N: int, z0, Bz: int, dtype):
@@ -128,7 +180,8 @@ class OocEngine:
     (N, Bkz, Bz, dtype) only, so every radius / source reuses the same
     executables.  Half-transform stacks are FLAT TUPLES of [N, Nh, N]
     arrays (12 for the Hessian, 6 for first derivatives, 2 for a single
-    component): whole arrays alias in place through loop carries."""
+    component); every member is one short per-batch program (module
+    docstring)."""
 
     def __init__(self, params: Params, cosmo: Cosmology,
                  verbose: bool = True):
@@ -146,6 +199,7 @@ class OocEngine:
                      else jax.lax.Precision.HIGHEST)
         self.Bkz = _divisor_batch(self.Nh, 16 if N >= 256 else self.Nh)
         self.Bz = _divisor_batch(N, 16 if N >= 256 else N)
+        self.Bx = _divisor_batch(N, 32)
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
@@ -158,6 +212,25 @@ class OocEngine:
         return tuple(jnp.zeros((self.N, self.Nh, self.N), self.dtype)
                      for _ in range(2 * ncomp))
 
+    def _kxy(self):
+        N = self.N
+        half = N // 2
+        ix = jnp.arange(N, dtype=jnp.int32)
+        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
+                                             ).astype(jnp.float32)
+        return kx1.reshape(N, 1), kx1.reshape(1, N)
+
+    def _store_uc(self, out, idx, w, kz0):
+        """Write the [B, N, N] c64 half-transform batch w into the
+        (re, im) arrays out[idx], out[idx+1] at kz offset kz0
+        ([B, N, N] -> [N(x), B(kz), N(y)])."""
+        wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
+        wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
+        out[idx] = jax.lax.dynamic_update_slice(out[idx], wre,
+                                                (0, kz0, 0))
+        out[idx + 1] = jax.lax.dynamic_update_slice(out[idx + 1], wim,
+                                                    (0, kz0, 0))
+
     # ---------------- pass A: build half-transform stacks -------------
 
     def _facs_hessian(self, kxp, kyp, kzv, R_grid):
@@ -169,146 +242,93 @@ class OocEngine:
         kvec = (kxp, kyp, kzv)
         return [(kvec[a] * kvec[b]) * smooth for a, b in PAIRS]
 
+    def _read_spec(self, spec, kz0):
+        """One kz batch of a resident spectrum [2, N, Nh, N] ->
+        [B, N, N] c64 (small slice reads are alias-safe)."""
+        N, B = self.N, self.Bkz
+        re = jax.lax.dynamic_slice(spec, (0, 0, kz0, 0), (1, N, B, N))[0]
+        im = jax.lax.dynamic_slice(spec, (1, 0, kz0, 0), (1, N, B, N))[0]
+        return jnp.transpose(re.astype(jnp.float32)
+                             + 1j * im.astype(jnp.float32), (1, 0, 2))
+
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def build_u_hessian(self, us, R_grid):
-        """us: flat 12-tuple (donated): ifft2(fac_c * delta) per kz
-        batch, delta regenerated per plane (no resident spectrum)."""
-        N, Nh, B = self.N, self.Nh, self.Bkz
-        half = N // 2
-        ix = jnp.arange(N, dtype=jnp.int32)
-        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
-                                             ).astype(jnp.float32)
-        kxp = kx1.reshape(N, 1)
-        kyp = kx1.reshape(1, N)
-
-        def body(i, us):
-            kz0 = i * B
-            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
-            d = jax.vmap(self.plane)(kzs)          # [B, N, N] c64
-            kzv = ((2.0 * jnp.pi / N)
-                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
-            facs = self._facs_hessian(kxp, kyp, kzv, R_grid)
-            out = list(us)
-            for c in range(6):
-                w = jnp.fft.ifft2(d * facs[c], axes=(1, 2))
-                # [B, N, N] -> [N(x), B(kz), N(y)]
-                wre = jnp.transpose(jnp.real(w), (1, 0, 2)
-                                    ).astype(self.dtype)
-                wim = jnp.transpose(jnp.imag(w), (1, 0, 2)
-                                    ).astype(self.dtype)
-                out[2 * c] = jax.lax.dynamic_update_slice(
-                    out[2 * c], wre, (0, kz0, 0))
-                out[2 * c + 1] = jax.lax.dynamic_update_slice(
-                    out[2 * c + 1], wim, (0, kz0, 0))
-            return tuple(out)
-
-        return jax.lax.fori_loop(0, Nh // B, body, us)
+    def build_hessian_batch(self, us, R_grid, kz0):
+        """ONE kz batch of the 6 Hessian half-transforms (us: flat
+        12-tuple, donated): ifft2(k_a k_b exp(-k^2 R^2/2)/k^2 * delta),
+        delta regenerated per plane (no resident spectrum)."""
+        B = self.Bkz
+        kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+        d = jax.vmap(self.plane)(kzs)          # [B, N, N] c64
+        kxp, kyp = self._kxy()
+        kzv = ((2.0 * jnp.pi / self.N)
+               * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+        facs = self._facs_hessian(kxp, kyp, kzv, R_grid)
+        out = list(us)
+        for c in range(6):
+            self._store_uc(out, 2 * c, _mm_ifft2(d * facs[c]), kz0)
+        return tuple(out)
 
     @partial(jax.jit, static_argnames=("self", "source"),
-             donate_argnums=(1, 2))
-    def build_u_first(self, us, spec, gtab, glo, gdx, source: str):
-        """us: flat 6-tuple (donated): half-transforms of the 3 first
-        derivatives i k_c / k^2 * g(|k|) of a source spectrum.
+             donate_argnums=(1,))
+    def build_first_batch(self, us, spec, gtab, glo, gdx, kz0,
+                          source: str):
+        """ONE kz batch of the 3 first-derivative half-transforms
+        i k_c / k^2 * g(|k|) (us: flat 6-tuple, donated).
         source='density': regenerate delta per plane (spec unused);
-        source='spec': read planes of spec [2, N, Nh, N] (store dtype).
+        source='spec': read planes of spec [2, N, Nh, N] (plain arg).
         g: per-|k| growth table over log10 k grid units (scale-dependent
         growth, fmax-pfft.c:344-364); a constant table gives scalar g."""
-        N, Nh, B = self.N, self.Nh, self.Bkz
-        half = N // 2
-        ix = jnp.arange(N, dtype=jnp.int32)
-        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
-                                             ).astype(jnp.float32)
-        kxp = kx1.reshape(N, 1)
-        kyp = kx1.reshape(1, N)
+        B = self.Bkz
+        kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+        if source == "density":
+            d = jax.vmap(self.plane)(kzs)
+        else:
+            d = self._read_spec(spec, kz0)
+        kxp, kyp = self._kxy()
+        kzv = ((2.0 * jnp.pi / self.N)
+               * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+        k2 = kxp * kxp + kyp * kyp + kzv * kzv
+        inv = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+        logk = 0.5 * jnp.log10(jnp.maximum(k2, 1e-12))
+        t = jnp.clip((logk - glo) / gdx, 0.0, gtab.shape[0] - 1.001)
+        it = t.astype(jnp.int32)
+        wt = t - it.astype(jnp.float32)
+        g = gtab[it] * (1.0 - wt) + gtab[it + 1] * wt
+        base = d * (1j * (inv * g))
+        out = list(us)
+        for c, kc in enumerate((kxp, kyp, kzv)):
+            self._store_uc(out, 2 * c, _mm_ifft2(base * kc), kz0)
+        return tuple(out)
 
-        def body(i, carry):
-            us, spec = carry
-            kz0 = i * B
-            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
-            if source == "density":
-                d = jax.vmap(self.plane)(kzs)
-            else:
-                re = jax.lax.dynamic_slice(
-                    spec, (0, 0, kz0, 0), (1, N, B, N))[0]
-                im = jax.lax.dynamic_slice(
-                    spec, (1, 0, kz0, 0), (1, N, B, N))[0]
-                d = jnp.transpose(
-                    re.astype(jnp.float32)
-                    + 1j * im.astype(jnp.float32), (1, 0, 2))
-            kzv = ((2.0 * jnp.pi / N)
-                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
-            k2 = kxp * kxp + kyp * kyp + kzv * kzv
-            inv = jnp.where(k2 > 0.0,
-                            1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
-            logk = 0.5 * jnp.log10(jnp.maximum(k2, 1e-12))
-            t = jnp.clip((logk - glo) / gdx, 0.0, gtab.shape[0] - 1.001)
-            it = t.astype(jnp.int32)
-            wt = t - it.astype(jnp.float32)
-            g = gtab[it] * (1.0 - wt) + gtab[it + 1] * wt
-            base = d * (1j * (inv * g))
-            out = list(us)
-            for c, kc in enumerate((kxp, kyp, kzv)):
-                w = jnp.fft.ifft2(base * kc, axes=(1, 2))
-                wre = jnp.transpose(jnp.real(w), (1, 0, 2)
-                                    ).astype(self.dtype)
-                wim = jnp.transpose(jnp.imag(w), (1, 0, 2)
-                                    ).astype(self.dtype)
-                out[2 * c] = jax.lax.dynamic_update_slice(
-                    out[2 * c], wre, (0, kz0, 0))
-                out[2 * c + 1] = jax.lax.dynamic_update_slice(
-                    out[2 * c + 1], wim, (0, kz0, 0))
-            return tuple(out), spec
-
-        return jax.lax.fori_loop(0, Nh // B, body, (us, spec))
-
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3))
-    def build_u_single(self, ure, uim, spec, ia: jnp.int32,
-                       ib: jnp.int32, use_density: jnp.bool_,
-                       fac_one: jnp.bool_):
-        """(ure, uim) [N, Nh, N] (donated): ONE Hessian component
-        k_ia k_ib / k^2 of either the density (regenerated) or a resident
-        spectrum — the 3LPT-b pair-folding workhorse.  fac_one=True
-        instead applies factor 1 (the field itself: trace term
-        tr(phi,ij) = delta, and q2 for the 2 tr(sd) q2 product).  All
-        flags traced so the 6x2+2 combinations share one executable."""
-        N, Nh, B = self.N, self.Nh, self.Bkz
-        half = N // 2
-        ix = jnp.arange(N, dtype=jnp.int32)
-        kx1 = (2.0 * jnp.pi / N) * jnp.where(ix <= half, ix, ix - N
-                                             ).astype(jnp.float32)
-        kxp = jnp.broadcast_to(kx1.reshape(1, N, 1), (1, N, 1))
-        kyp = kx1.reshape(1, 1, N)
-
-        def body(i, carry):
-            ure, uim, spec = carry
-            kz0 = i * B
-            kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
-            d_gen = jax.vmap(self.plane)(kzs)
-            re = jax.lax.dynamic_slice(spec, (0, 0, kz0, 0),
-                                       (1, N, B, N))[0]
-            im = jax.lax.dynamic_slice(spec, (1, 0, kz0, 0),
-                                       (1, N, B, N))[0]
-            d_spec = jnp.transpose(
-                re.astype(jnp.float32) + 1j * im.astype(jnp.float32),
-                (1, 0, 2))
-            d = jnp.where(use_density, d_gen, d_spec)
-            kzv = ((2.0 * jnp.pi / N)
-                   * kzs.astype(jnp.float32)).reshape(B, 1, 1)
-            k2 = kxp * kxp + kyp * kyp + kzv * kzv
-            inv = jnp.where(k2 > 0.0,
-                            1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
-            kv = jnp.stack([jnp.broadcast_to(kxp, (B, N, N)),
-                            jnp.broadcast_to(kyp, (B, N, N)),
-                            jnp.broadcast_to(kzv, (B, N, N))])
-            fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
-            w = jnp.fft.ifft2(d * fac, axes=(1, 2))
-            wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
-            wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
-            ure = jax.lax.dynamic_update_slice(ure, wre, (0, kz0, 0))
-            uim = jax.lax.dynamic_update_slice(uim, wim, (0, kz0, 0))
-            return ure, uim, spec
-
-        return jax.lax.fori_loop(0, Nh // B, body, (ure, uim, spec))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
+    def build_single_batch(self, ure, uim, spec, ia: jnp.int32,
+                           ib: jnp.int32, use_density: jnp.bool_,
+                           fac_one: jnp.bool_, kz0):
+        """ONE kz batch of ONE Hessian component k_ia k_ib / k^2 of
+        either the density (regenerated) or a resident spectrum (plain
+        arg) — the 3LPT-b pair-folding workhorse.  fac_one=True instead
+        applies factor 1 (the field itself: trace term tr(phi,ij) =
+        delta, and q2 for the 2 tr(sd) q2 product).  All flags traced so
+        the 6x2+2 combinations share one executable."""
+        N, B = self.N, self.Bkz
+        kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
+        d_gen = jax.vmap(self.plane)(kzs)
+        d = jnp.where(use_density, d_gen, self._read_spec(spec, kz0))
+        kxp, kyp = self._kxy()
+        kzv = ((2.0 * jnp.pi / N)
+               * kzs.astype(jnp.float32)).reshape(B, 1, 1)
+        k2 = kxp * kxp + kyp * kyp + kzv * kzv
+        inv = jnp.where(k2 > 0.0, 1.0 / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+        kv = jnp.stack([jnp.broadcast_to(kxp, (B, N, N)),
+                        jnp.broadcast_to(kyp, (B, N, N)),
+                        jnp.broadcast_to(kzv, (B, N, N))])
+        fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
+        w = _mm_ifft2(d * fac)
+        wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
+        wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
+        ure = jax.lax.dynamic_update_slice(ure, wre, (0, kz0, 0))
+        uim = jax.lax.dynamic_update_slice(uim, wim, (0, kz0, 0))
+        return ure, uim
 
     # ---------------- pass B: z-slab consumers -------------------------
 
@@ -316,10 +336,7 @@ class OocEngine:
     def cycle_slab(self, us, Fmax, s1, s2, pack, z0):
         """ONE z-slab of one collapse-cycle radius: Fmax and the delta
         moment accumulators (all donated) updated in place; us is read
-        as plain arguments.  A Python-level slab loop, NOT a fori: a dot
-        that reads a loop-CARRIED array makes this backend materialize a
-        full copy of the stack (12 GiB at 1024^3 — measured), while
-        plain-argument reads are free (module docstring).
+        as plain arguments (module docstring).
         Rmax is not tracked — nothing in the catalog pipeline reads it
         (the sweep never does; fmax.py fetch_products_host docstring)."""
         N, Bz = self.N, self.Bz
@@ -348,8 +365,7 @@ class OocEngine:
         written DENSE on device [N, N, N] in the WIRE dtype (fdtype), z
         minor (LPT.c:70-76).  The caller donates the retired Fmax buffer
         as q2's storage — same shape + dtype, so it aliases and the 2LPT
-        phase allocates NOTHING (module ledger).  Python-level slab loop
-        for the same carried-dot-read reason as cycle_slab."""
+        phase allocates NOTHING (module ledger)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
         sd = _consume6(us, C, S, self.prec)
@@ -386,8 +402,7 @@ class OocEngine:
         stack temp at 1024^3):
           contribution(x) = first ? 2*tr(sd)*q2(x) : 0  - 2*w*phi2_c*phi1_c
         where on the 'first' call u1/u2 are the TRACE half-transform of
-        sd and the q2 half-transform (LPT.c:89-141).  Python-level slab
-        loop: carried-dot-reads copy (cycle_slab docstring)."""
+        sd and the q2 half-transform (LPT.c:89-141)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
         a = _slab_matmul(u1re, u1im, C, S, self.prec)
@@ -403,67 +418,89 @@ class OocEngine:
                                preferred_element_type=jnp.float32)
         return wre, wim
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def real_to_spec(self, q, out):
-        """Dense real field [N, N, N] (z minor) -> spectrum
+    # ---------------- forward transforms (host fields -> spectra) -----
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
+    def rfftz_batch(self, q, out, x0):
+        """ONE x batch of the forward z-transform of a dense real field
+        q [N, N, N] (z minor, plain arg) into the spectrum layout out
+        [2, N, Nh, N] (donated): MXU matmul against the rfft bases."""
+        N, Nh, Bx = self.N, self.Nh, self.Bx
+        sl = jax.lax.dynamic_slice(q, (x0, 0, 0),
+                                   (Bx, N, N)).astype(jnp.float32)
+        Cf, Sf = _rfftz_mats(N)                   # [N(z), Nh]
+        wre = jnp.einsum("xyz,zk->xky", sl, Cf, precision=_PREC)
+        wim = jnp.einsum("xyz,zk->xky", sl, Sf, precision=_PREC)
+        blk = jnp.stack([wre, wim]).astype(out.dtype)  # [2, Bx, Nh, N]
+        return jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def fft2_batch(self, w, kz0):
+        """ONE kz batch of the forward (x, y) fft2 finishing a spectrum
+        in place on w [2, N, Nh, N] (donated)."""
+        N, B = self.N, self.Bkz
+        re = jax.lax.dynamic_slice(w, (0, 0, kz0, 0), (1, N, B, N))[0]
+        im = jax.lax.dynamic_slice(w, (1, 0, kz0, 0), (1, N, B, N))[0]
+        f = _mm_fft2_xy(re.astype(jnp.float32)
+                        + 1j * im.astype(jnp.float32))
+        blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(w.dtype)
+        return jax.lax.dynamic_update_slice(w, blk, (0, 0, kz0, 0))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(3,))
+    def fft2_pair_batch(self, wre, wim, out, kz0):
+        """ONE kz batch of the forward (x, y) fft2 of the fold
+        accumulators (separate f32 re/im [N, Nh, N], plain args) into
+        the store-dtype spectrum out [2, N, Nh, N] (donated)."""
+        N, B = self.N, self.Bkz
+        re = jax.lax.dynamic_slice(wre, (0, kz0, 0), (N, B, N))
+        im = jax.lax.dynamic_slice(wim, (0, kz0, 0), (N, B, N))
+        f = _mm_fft2_xy(re + 1j * im)
+        blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(out.dtype)
+        return jax.lax.dynamic_update_slice(out, blk, (0, 0, kz0, 0))
+
+    # ---------------- python-loop drivers ------------------------------
+
+    def build_hessian(self, us, R_grid):
+        for i in range(self.Nh // self.Bkz):
+            us = self.build_hessian_batch(us, R_grid,
+                                          jnp.int32(i * self.Bkz))
+        return us
+
+    def build_first(self, us, spec, g, source):
+        for i in range(self.Nh // self.Bkz):
+            us = self.build_first_batch(us, spec, *g,
+                                        jnp.int32(i * self.Bkz),
+                                        source=source)
+        return us
+
+    def build_single(self, ure, uim, spec, ia, ib, use_density,
+                     fac_one):
+        for i in range(self.Nh // self.Bkz):
+            ure, uim = self.build_single_batch(
+                ure, uim, spec, jnp.int32(ia), jnp.int32(ib),
+                jnp.bool_(use_density), jnp.bool_(fac_one),
+                jnp.int32(i * self.Bkz))
+        return ure, uim
+
+    def to_spec(self, q, out):
+        """Dense real field [N, N, N] (z minor, plain arg) -> spectrum
         [2, N, Nh, N] (donated out, store dtype): rfft over z in
         x-batches, then fft2 per kz batch — the staged forward
         counterpart of pass A."""
-        N = self.N
-        Bx = _divisor_batch(N, 32)
+        for i in range(self.N // self.Bx):
+            out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
+        for i in range(self.Nh // self.Bkz):
+            out = self.fft2_batch(out, jnp.int32(i * self.Bkz))
+        return out
 
-        def zpass(i, carry):
-            q, out = carry
-            x0 = i * Bx
-            sl = jax.lax.dynamic_slice(q, (x0, 0, 0), (Bx, N, N))
-            w = jnp.fft.rfft(sl.astype(jnp.float32), axis=2)  # [Bx,N,Nh]
-            blk = jnp.stack([jnp.real(w), jnp.imag(w)]).astype(out.dtype)
-            blk = jnp.transpose(blk, (0, 1, 3, 2))            # [2,Bx,Nh,N]
-            out = jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
-            return q, out
+    def pair_to_spec(self, wre, wim, out):
+        """Fold accumulators (f32 re/im pair) -> store-dtype spectrum."""
+        for i in range(self.Nh // self.Bkz):
+            out = self.fft2_pair_batch(wre, wim, out,
+                                       jnp.int32(i * self.Bkz))
+        return out
 
-        q, out = jax.lax.fori_loop(0, N // Bx, zpass, (q, out))
-        return self._spec_fft2_body(out, out.dtype)
-
-    def _spec_fft2_body(self, w, out_dtype):
-        """fft2 over (x, y) per kz batch, in place on w's buffer layout
-        [2, N, Nh, N] (traceable helper shared by real_to_spec /
-        spec_fft2)."""
-        N, Nh, B = self.N, self.Nh, self.Bkz
-
-        def fpass(i, w):
-            kz0 = i * B
-            re = jax.lax.dynamic_slice(w, (0, 0, kz0, 0), (1, N, B, N))
-            im = jax.lax.dynamic_slice(w, (1, 0, kz0, 0), (1, N, B, N))
-            # [N(x), B(kz), N(y)]: transform the (x, y) axes per plane
-            f = jnp.fft.fft2(re[0].astype(jnp.float32)
-                             + 1j * im[0].astype(jnp.float32),
-                             axes=(0, 2))
-            blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(w.dtype)
-            return jax.lax.dynamic_update_slice(w, blk, (0, 0, kz0, 0))
-
-        w = jax.lax.fori_loop(0, Nh // B, fpass, w)
-        return w.astype(out_dtype)
-
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3))
-    def spec_fft2_pair(self, wre, wim, out):
-        """Finish a forward-z-accumulated spectrum (separate f32 re/im
-        [N, Nh, N] arrays, donated) with the (x, y) fft2 into the
-        store-dtype spectrum out [2, N, Nh, N] (donated).  fori with
-        dynamic_slice reads only — the alias-clean pattern."""
-        N, Nh, B = self.N, self.Nh, self.Bkz
-
-        def fpass(i, carry):
-            wre, wim, out = carry
-            kz0 = i * B
-            re = jax.lax.dynamic_slice(wre, (0, kz0, 0), (N, B, N))
-            im = jax.lax.dynamic_slice(wim, (0, kz0, 0), (N, B, N))
-            f = jnp.fft.fft2(re + 1j * im, axes=(0, 2))
-            blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(out.dtype)
-            out = jax.lax.dynamic_update_slice(out, blk, (0, 0, kz0, 0))
-            return wre, wim, out
-
-        return jax.lax.fori_loop(0, Nh // B, fpass, (wre, wim, out))[2]
+    # ---------------- needed-row gather -------------------------------
 
     @partial(jax.jit, static_argnames=("self",))
     def vrows_slab(self, us, idx_all, j):
@@ -481,16 +518,6 @@ class OocEngine:
                  for c in range(3)]
         rows = jnp.stack([c[idx] for c in comps], axis=1)
         return rows.astype(self.fdtype)
-
-    # ---------------- F compaction ------------------------------------
-
-    @partial(jax.jit, static_argnames=("self",))
-    def f_slab(self, Fmax, z0):
-        """One z-slab of Fmax in [Bz, N, N] layout (for per-slab host
-        masks) — trivial, exists to keep transfers slab-sized."""
-        N, Bz = self.N, self.Bz
-        sl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
-        return jnp.transpose(sl, (2, 0, 1))
 
 
 # ----------------------------------------------------------------------
@@ -552,7 +579,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     nsl = N // eng.Bz
     stats = []
     for ism in range(sm.n):
-        us = eng.build_u_hessian(us, jnp.float32(radii_grid[ism]))
+        us = eng.build_hessian(us, jnp.float32(radii_grid[ism]))
         pack = jnp.asarray(packs[ism])
         s1, s2 = np.float32(0.0), np.float32(0.0)
         for j in range(nsl):
@@ -587,7 +614,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     q31_parts = []
     if lpt_order >= 3:
         futs = []
-        for j in range(N // eng.Bz):
+        for j in range(nsl):
             sl = eng.q31_slab(us, jnp.int32(j * eng.Bz))
             futs.append(ex.submit(np.asarray, sl))
             while len([f for f in futs if not f.done()]) > 3:
@@ -602,7 +629,6 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     flast = np.asarray(params.Flast, F_host.dtype)
     mask3 = F_host >= flast
     Bz = eng.Bz
-    nsl = N // Bz
     loc_idx, ci_parts, f_parts, counts = [], [], [], []
     for j in range(nsl):
         z0 = j * Bz
@@ -645,7 +671,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
 
     q2hat = None
     if lpt_order >= 2:
-        q2hat = eng.real_to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
+        q2hat = eng.to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
         del q2
 
     q32hat = None
@@ -660,6 +686,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         u1im = jnp.zeros((N, Nh, N), eng.dtype)
         u2re = jnp.zeros((N, Nh, N), eng.dtype)
         u2im = jnp.zeros((N, Nh, N), eng.dtype)
+
         def fold_all(wre, wim, u1re, u1im, u2re, u2im, first, weight):
             for j in range(nsl):
                 wre, wim = eng.fold_slab(u1re, u1im, u2re, u2im,
@@ -668,26 +695,22 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
                                          jnp.int32(j * eng.Bz))
             return wre, wim
 
-        u1re, u1im, q2hat = eng.build_u_single(
-            u1re, u1im, q2hat, jnp.int32(0), jnp.int32(0),
-            jnp.bool_(True), jnp.bool_(True))
-        u2re, u2im, q2hat = eng.build_u_single(
-            u2re, u2im, q2hat, jnp.int32(0), jnp.int32(0),
-            jnp.bool_(False), jnp.bool_(True))
+        u1re, u1im = eng.build_single(u1re, u1im, q2hat, 0, 0,
+                                      True, True)
+        u2re, u2im = eng.build_single(u2re, u2im, q2hat, 0, 0,
+                                      False, True)
         wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
                             True, 0.0)
         for c, (ia, ib) in enumerate(PAIRS):
-            u1re, u1im, q2hat = eng.build_u_single(
-                u1re, u1im, q2hat, jnp.int32(ia), jnp.int32(ib),
-                jnp.bool_(True), jnp.bool_(False))
-            u2re, u2im, q2hat = eng.build_u_single(
-                u2re, u2im, q2hat, jnp.int32(ia), jnp.int32(ib),
-                jnp.bool_(False), jnp.bool_(False))
+            u1re, u1im = eng.build_single(u1re, u1im, q2hat, ia, ib,
+                                          True, False)
+            u2re, u2im = eng.build_single(u2re, u2im, q2hat, ia, ib,
+                                          False, False)
             wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
                                 False, PAIR_W[c])
         del u1re, u1im, u2re, u2im
-        q32hat = eng.spec_fft2_pair(
-            wre, wim, jnp.zeros((2, N, Nh, N), eng.dtype))
+        q32hat = eng.pair_to_spec(wre, wim,
+                                  jnp.zeros((2, N, Nh, N), eng.dtype))
         del wre, wim
 
     q31hat = None
@@ -697,8 +720,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
         del q31_parts
         q31d = jax.device_put(q31h)
         del q31h
-        q31hat = eng.real_to_spec(q31d,
-                                  jnp.zeros((2, N, Nh, N), eng.dtype))
+        q31hat = eng.to_spec(q31d, jnp.zeros((2, N, Nh, N), eng.dtype))
         del q31d
 
     # ---- displacement row streaming ---------------------------------
@@ -730,22 +752,22 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
     u_v = eng.zeros_stack(3)
     g1 = growth(cosmo.GrowingMode, z0out)
-    u_v, dummy = eng.build_u_first(u_v, dummy, *g1, source="density")
+    u_v = eng.build_first(u_v, dummy, g1, source="density")
     stream_rows("v1", u_v)
 
     if lpt_order >= 2:
         g2 = growth(cosmo.GrowingMode_2LPT, z0out)
-        u_v, q2hat = eng.build_u_first(u_v, q2hat, *g2, source="spec")
+        u_v = eng.build_first(u_v, q2hat, g2, source="spec")
         stream_rows("v2", u_v)
     del q2hat
 
     if lpt_order >= 3:
         g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
-        u_v, q31hat = eng.build_u_first(u_v, q31hat, *g31, source="spec")
+        u_v = eng.build_first(u_v, q31hat, g31, source="spec")
         stream_rows("v31", u_v)
         del q31hat
         g32 = growth(cosmo.GrowingMode_3LPT_2, z0out)
-        u_v, q32hat = eng.build_u_first(u_v, q32hat, *g32, source="spec")
+        u_v = eng.build_first(u_v, q32hat, g32, source="spec")
         stream_rows("v32", u_v)
         del q32hat
     del u_v, idx_dev
