@@ -65,17 +65,22 @@ def device_hbm_bytes() -> float:
     return None
 
 
-def ooc_device_peak(params: Params) -> float:
+def ooc_device_peak(params: Params, frac: float = 0.8) -> float:
     """Device peak of the out-of-core engine (fmax_ooc.py module
-    ledger): the collapse-cycle phase dominates — the 6-component
-    half-transform stack plus the Fmax grid, both in reduced precision
-    on accelerators."""
+    ledger): max of the collapse-cycle phase (6-component half-transform
+    stack + the Fmax grid) and the v-stream phase (3-component stack +
+    three resident source spectra + the padded needed-index table, which
+    scales with the collapsed fraction `frac`)."""
     N = params.GridSize
     Nh = N // 2 + 1
     store = 2 if params.ooc_dtype in (None, "bfloat16", "float16") else 4
-    u = 6 * 2 * Nh * float(N) ** 2 * store
+    half = 2 * Nh * float(N) ** 2 * store       # one component (re+im)
     fmax = float(N) ** 3 * 2
-    return u + fmax
+    cycle = 6 * half + fmax
+    spec = 2 * Nh * float(N) ** 2 * store       # one [2, N, Nh, N] spectrum
+    idx = min(1.0, frac * 1.1) * float(N) ** 3 * 4
+    vstream = 3 * half + 3 * spec + idx
+    return max(cycle, vstream)
 
 
 def ooc_selected(params: Params, n_chips: int = 1,
@@ -163,12 +168,14 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
     device_peak_phase = ("collapse cycle" if loop_total >= lpt_total
                          else "LPT displacements")
     if ooc:
-        device_total = ooc_device_peak(params)
-        device_peak_phase = "ooc cycle (u stack + Fmax)"
-        loop_phase = dict(half_transforms=device_total
-                          - float(N) ** 3 * 2,
+        device_total = ooc_device_peak(params, frac=frac0)
+        cyc = ooc_device_peak(params, frac=0.0)   # idx-free cycle peak
+        device_peak_phase = ("ooc cycle (u stack + Fmax)"
+                             if device_total <= cyc
+                             else "ooc v-streams (u_v + spectra + idx)")
+        loop_phase = dict(half_transforms=cyc - float(N) ** 3 * 2,
                           fmax=float(N) ** 3 * 2)
-        lpt_phase = loop_phase
+        lpt_phase = dict(device_peak=device_total)
 
     # ---- fragmentation (host) ----
     frac = frac0
