@@ -118,6 +118,15 @@ class Params:
     ooc_dtype: str = None               # half-transform storage dtype
                                         # (None = bfloat16 on TPU,
                                         # float32 elsewhere/tests)
+    ct_interp: str = "trilinear"        # TABULATED_CT lookup variant:
+                                        # trilinear | bilinear | bicubic
+                                        # (collapse_times.c:1139-1231
+                                        # TRILINEAR / BILINEAR_SPLINE /
+                                        # ALL_SPLINE compile switch)
+    ooc_kz_batch: int = None            # kz planes per ooc build batch
+                                        # (None = 16 at N>=256 else Nh;
+                                        # a non-divisor of Nh adds one
+                                        # remainder batch)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])
@@ -184,6 +193,8 @@ class Params:
             raise ValueError("output redshifts must be in descending order")
         if self.ell_model not in ("classic", "sng", "tabulated"):
             raise ValueError(f"unknown ell_model {self.ell_model}")
+        if self.ct_interp not in ("trilinear", "bilinear", "bicubic"):
+            raise ValueError(f"unknown ct_interp {self.ct_interp}")
 
 
 # typed tag table equivalent to ReadParamfile.c:47-307

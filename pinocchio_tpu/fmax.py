@@ -520,25 +520,30 @@ def fmax_loop(kdensity, radii_grid, invgrow_packs, N: int, nsmooth: int):
     return Fmax, Rmax, avgs, variances, sd
 
 
-@partial(jax.jit, static_argnames=("N", "nsmooth"))
+@partial(jax.jit, static_argnames=("N", "nsmooth", "interp"))
 def fmax_loop_tab(kdensity, radii_grid, ct_tabs, ct_dv, ct_idx_map,
-                  ct_ampls, N: int, nsmooth: int):
+                  ct_ampls, N: int, nsmooth: int, ct_tabs2=None,
+                  interp: str = "trilinear"):
     """fmax_loop variant where collapse times come from per-radius
-    TABULATED_CT tables (ELL_SNG or tabulated classic)."""
+    TABULATED_CT tables (ELL_SNG or tabulated classic), in any of the
+    three interpolation variants (collapse_times.c:1139-1231)."""
     Fmax0 = jnp.full((N, N, N), -10.0, jnp.float32)
     Rmax0 = jnp.full((N, N, N), -1, jnp.int32)
     sd0 = jnp.zeros((6, N, N, N), jnp.float32)
+    if ct_tabs2 is None:
+        ct_tabs2 = jnp.zeros_like(ct_tabs)
 
     def body(carry, xs):
         Fmax, Rmax, _ = carry
-        R_grid, ism, tab, ampl = xs
+        R_grid, ism, tab, tab2, ampl = xs
         sd = derivatives.second_derivatives.__wrapped__(kdensity, R_grid, N)
         Fmax, Rmax, d_avg, d_var = collapse.collapse_update_table.__wrapped__(
-            sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl)
+            sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl,
+            ct_tab2=tab2, interp=interp)
         return (Fmax, Rmax, sd), (d_avg, d_var)
 
     xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32), ct_tabs,
-          ct_ampls)
+          ct_tabs2, ct_ampls)
     (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
         body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
     return Fmax, Rmax, avgs, variances, sd
@@ -623,8 +628,10 @@ def prepare_ct_tables(params: Params, cosmo: Cosmology, sm: Smoothing,
         try:
             tabs = tabulated.read_ct_table_file(params.CTtableFile,
                                                 params, sm)
+            dv64 = tabulated.delta_sampling()
             ct = dict(tables=tabs,
-                      dv=tabulated.delta_sampling().astype(np.float32),
+                      tables2=tabulated.spline_d2(tabs, dv64),
+                      dv=dv64.astype(np.float32),
                       idx_map=None,
                       ampl=np.sqrt(sm.variance).astype(np.float32))
             aux = np.linspace(-tabulated.CT_RANGE_D,
@@ -686,7 +693,9 @@ def run_fmax(params: Params, cosmo: Cosmology, kdensity=None,
         Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop_tab(
             kdensity, radii_grid, jnp.asarray(ct["tables"]),
             jnp.asarray(ct["dv"]), jnp.asarray(ct["idx_map"]),
-            jnp.asarray(ct["ampl"]), N, sm.n)
+            jnp.asarray(ct["ampl"]), N, sm.n,
+            ct_tabs2=jnp.asarray(ct["tables2"]),
+            interp=params.ct_interp)
     else:
         Fmax, Rmax, d_avgs, d_vars, sd = fmax_loop(
             kdensity, radii_grid, ig_packs, N, sm.n)

@@ -251,17 +251,19 @@ def eval_inverse_growth(pack, x):
     return jnp.where(x < lo, below, jnp.where(x > hi, above, acc))
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("interp",))
 def collapse_update_table(derivs, Fmax, Rmax, ismooth, ct_tab, ct_dv,
-                          ct_idx_map, ct_ampl):
+                          ct_idx_map, ct_ampl, ct_tab2=None,
+                          interp: str = "trilinear"):
     """collapse_update variant for TABULATED_CT / ELL_SNG: F comes from
-    trilinear interpolation of the per-radius collapse-time table
-    (interpolate_collapse_time, collapse_times.c:1139-1221)."""
+    interpolation of the per-radius collapse-time table in the chosen
+    variant (interpolate_collapse_time, collapse_times.c:1139-1231;
+    ct_tab2 = delta-spline second derivatives for the spline variants)."""
     from . import tabulated
     delta = derivs[0] + derivs[1] + derivs[2]
     l1, l2, l3, fail = eigenvalues_descending(derivs)
-    F = tabulated.interpolate_F(ct_tab, ct_dv, ct_idx_map, ct_ampl,
-                                l1, l2, l3)
+    F = tabulated.interp_F(interp, ct_tab, ct_tab2, ct_dv, ct_idx_map,
+                           ct_ampl, l1, l2, l3)
     F = jnp.where(fail, -10.0, F)
     upd = Fmax < F
     Fmax = jnp.where(upd, F, Fmax)

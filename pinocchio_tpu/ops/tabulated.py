@@ -5,8 +5,11 @@ Re-implements the reference's tabulated collapse mode
 tabulated on a (CT_NBINS_D x CT_NBINS_XY x CT_NBINS_XY) grid of normalized
 eigenvalue combinations delta = (l1+l2+l3)/sigma, x = (l1-l2)/sigma,
 y = (l2-l3)/sigma, with a non-uniform delta sampling concentrated around
-CT_DELTA0; particle lookups are trilinear (the reference's TRILINEAR
-variant), which runs as pure arithmetic + tiny-table gathers on the VPU.
+CT_DELTA0; particle lookups implement all three reference variants
+(TRILINEAR / BILINEAR_SPLINE / ALL_SPLINE bicubic, the ct_interp config
+switch) as pure arithmetic + tiny-table gathers on the VPU — the delta
+splines are precomputed as a second-derivative table on the host
+(spline_d2), so no per-particle spline objects exist.
 
 The table entries come from either the classic ellipsoid solution or the
 ELL_SNG ODE (ops/sng.py), solved for all nodes at once on the host.
@@ -100,6 +103,7 @@ def build_ct_tables_all(cosmo, smoothing, model: str = "classic"):
 
     Returns dict with:
       tables   [nsmooth, NXY, NXY, ND] float32 (indexed [iy, ix, id])
+      tables2  same shape: delta-spline second derivatives (spline_d2)
       dv       [ND] delta grid
       idx_map  [AUX_N] uniform->nonuniform delta bin index
       ampl     [nsmooth] sqrt variance
@@ -115,16 +119,19 @@ def build_ct_tables_all(cosmo, smoothing, model: str = "classic"):
     aux = np.linspace(-CT_RANGE_D, CT_RANGE_D, AUX_N)
     idx_map = np.clip(np.searchsorted(dv, aux, side="right") - 1, 0,
                       CT_NBINS_D - 2).astype(np.int32)
-    return dict(tables=np.stack(tabs),
+    tables = np.stack(tabs)
+    return dict(tables=tables,
+                tables2=spline_d2(tables, dv),
                 dv=dv.astype(np.float32),
                 idx_map=idx_map,
                 ampl=np.sqrt(smoothing.variance).astype(np.float32))
 
 
-def interpolate_F(tab, dv, idx_map, ampl, l1, l2, l3):
-    """Trilinear interpolation (interpolate_collapse_time TRILINEAR,
-    collapse_times.c:1139-1221) as jnp ops; tab is [NXY, NXY, ND] for one
-    radius (indexed [iy, ix, id])."""
+def _locate(dv, idx_map, ampl, l1, l2, l3):
+    """Shared bin location: normalized (d, x, y), their cell indices and
+    in-cell offsets (interpolate_collapse_time prologue,
+    collapse_times.c:1139-1160; the non-uniform delta bin comes from the
+    uniform aux grid instead of a bsearch — arithmetic, no search)."""
     d = (l1 + l2 + l3) / ampl
     x = (l1 - l2) / ampl
     y = (l2 - l3) / ampl
@@ -132,10 +139,17 @@ def interpolate_F(tab, dv, idx_map, ampl, l1, l2, l3):
     fy = y / BIN_X
     ix = jnp.clip(fx.astype(jnp.int32), 0, CT_NBINS_XY - 2)
     iy = jnp.clip(fy.astype(jnp.int32), 0, CT_NBINS_XY - 2)
-
     u = (d + CT_RANGE_D) / (2.0 * CT_RANGE_D) * (AUX_N - 1)
     u = jnp.clip(u, 0.0, AUX_N - 1.0)
     id_ = idx_map[u.astype(jnp.int32)]
+    return d, fx, fy, ix, iy, id_
+
+
+def interpolate_F(tab, dv, idx_map, ampl, l1, l2, l3):
+    """Trilinear interpolation (interpolate_collapse_time TRILINEAR,
+    collapse_times.c:1139-1221) as jnp ops; tab is [NXY, NXY, ND] for one
+    radius (indexed [iy, ix, id])."""
+    d, fx, fy, ix, iy, id_ = _locate(dv, idx_map, ampl, l1, l2, l3)
     d0 = dv[id_]
     d1 = dv[id_ + 1]
     dd = jnp.clip((d - d0) / (d1 - d0), 0.0, 1.0)
@@ -156,6 +170,111 @@ def interpolate_F(tab, dv, idx_map, ampl, l1, l2, l3):
             + dd * (1 - dx) * dy * g(1, 0, 1)
             + (1 - dd) * dx * dy * g(1, 1, 0)
             + dd * dx * dy * g(1, 1, 1))
+
+
+def spline_d2(tables, dv):
+    """Natural-cubic-spline second derivatives along the delta axis for
+    every control curve — the host-precomputed analog of the reference's
+    CT_Spline set (initialize_collapse_times, collapse_times.c:1018-1042):
+    the device then evaluates each delta spline segment arithmetically
+    instead of calling a spline object.  tables [..., ND] -> same shape."""
+    from scipy.interpolate import CubicSpline
+    cs = CubicSpline(np.asarray(dv, np.float64),
+                     np.asarray(tables, np.float64), axis=-1,
+                     bc_type="natural")
+    return cs(np.asarray(dv, np.float64), 2).astype(np.float32)
+
+
+def _spline_seg(y0, y1, m0, m1, d, d0, d1):
+    """One natural-cubic segment: values y, second derivatives m at the
+    segment ends (d0, d1), evaluated at d (my_spline_eval's in-range
+    branch, cosmo.c:2016-2027)."""
+    h = d1 - d0
+    A = (d1 - d) / h
+    B = 1.0 - A
+    return (A * y0 + B * y1
+            + ((A * A * A - A) * m0 + (B * B * B - B) * m1)
+            * (h * h) * (1.0 / 6.0))
+
+
+def _nat4(y0, y1, y2, y3, t):
+    """Natural cubic spline through 4 uniformly spaced points (h = 1),
+    evaluated at t in [0, 3]: the closed-form solve of the 2x2 tridiagonal
+    system for the interior second derivatives."""
+    c1 = y0 - 2.0 * y1 + y2
+    c2 = y1 - 2.0 * y2 + y3
+    m1 = (6.0 / 15.0) * (4.0 * c1 - c2)
+    m2 = (6.0 / 15.0) * (4.0 * c2 - c1)
+    zero = jnp.zeros_like(m1)
+    ms = (zero, m1, m2, zero)
+    ys = (y0, y1, y2, y3)
+    s = jnp.clip(t.astype(jnp.int32), 0, 2)
+    out = _spline_seg(ys[0], ys[1], ms[0], ms[1], t, 0.0, 1.0)
+    for k in (1, 2):
+        out = jnp.where(s == k,
+                        _spline_seg(ys[k], ys[k + 1], ms[k], ms[k + 1],
+                                    t, float(k), float(k + 1)),
+                        out)
+    return out
+
+
+def _d_spline_at(tab, tab2, dv, iy, ix, jy, jx, id_, d):
+    """The per-control-point delta spline evaluated at d (clamped to the
+    table range: collapse beyond |d| = CT_RANGE_D sigma is deep in the
+    tails and the reference's spline is undefined there too)."""
+    d_cl = jnp.clip(d, dv[0], dv[-1])
+    return _spline_seg(tab[iy + jy, ix + jx, id_],
+                       tab[iy + jy, ix + jx, id_ + 1],
+                       tab2[iy + jy, ix + jx, id_],
+                       tab2[iy + jy, ix + jx, id_ + 1],
+                       d_cl, dv[id_], dv[id_ + 1])
+
+
+def interpolate_F_bilinear(tab, tab2, dv, idx_map, ampl, l1, l2, l3):
+    """BILINEAR_SPLINE variant (collapse_times.c:1222-1231): cubic spline
+    along delta at the 4 surrounding (x, y) control points, bilinear
+    across them.  tab2 = spline_d2(tab, dv)."""
+    d, fx, fy, ix, iy, id_ = _locate(dv, idx_map, ampl, l1, l2, l3)
+    dx = fx - ix.astype(jnp.float32)
+    dy = fy - iy.astype(jnp.float32)
+    g = [[_d_spline_at(tab, tab2, dv, iy, ix, jy, jx, id_, d)
+          for jx in (0, 1)] for jy in (0, 1)]
+    return ((1 - dx) * (1 - dy) * g[0][0] + dx * (1 - dy) * g[0][1]
+            + (1 - dx) * dy * g[1][0] + dx * dy * g[1][1])
+
+
+def interpolate_F_bicubic(tab, tab2, dv, idx_map, ampl, l1, l2, l3):
+    """ALL_SPLINE variant (collapse_times.c:1152-1186): cubic spline
+    along delta at the 16 control points of a 4x4 (x, y) patch, then a
+    natural-bicubic tensor evaluation across the patch (the gsl_spline2d
+    bicubic analog, closed-form instead of a per-particle GSL object).
+    The patch start clamps at the table edges exactly like the
+    reference's ixstart/iystart."""
+    d, fx, fy, ix, iy, id_ = _locate(dv, idx_map, ampl, l1, l2, l3)
+    nxy = CT_NBINS_XY
+    ixs = jnp.where(ix == 0, 0, jnp.where(ix >= nxy - 2, nxy - 4, ix - 1))
+    iys = jnp.where(iy == 0, 0, jnp.where(iy >= nxy - 2, nxy - 4, iy - 1))
+    tx = fx - ixs.astype(jnp.float32)
+    ty = fy - iys.astype(jnp.float32)
+    rows = []
+    for jy in range(4):
+        vals = [_d_spline_at(tab, tab2, dv, iys, ixs, jy, jx, id_, d)
+                for jx in range(4)]
+        rows.append(_nat4(*vals, tx))
+    return _nat4(*rows, ty)
+
+
+def interp_F(interp: str, tab, tab2, dv, idx_map, ampl, l1, l2, l3):
+    """Static dispatch over the reference's three interpolation variants
+    (the TRILINEAR / BILINEAR_SPLINE / ALL_SPLINE compile switch,
+    collapse_times.c:1139-1231, as a runtime option)."""
+    if interp == "bicubic":
+        return interpolate_F_bicubic(tab, tab2, dv, idx_map, ampl,
+                                     l1, l2, l3)
+    if interp == "bilinear":
+        return interpolate_F_bilinear(tab, tab2, dv, idx_map, ampl,
+                                      l1, l2, l3)
+    return interpolate_F(tab, dv, idx_map, ampl, l1, l2, l3)
 
 
 def write_ct_table_file(path, params, smoothing, tables):

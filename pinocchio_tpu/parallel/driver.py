@@ -103,17 +103,19 @@ def build_fmax_loop(decomp, nsmooth: int):
     return loop
 
 
-def build_fmax_loop_tab(decomp, nsmooth: int):
+def build_fmax_loop_tab(decomp, nsmooth: int, interp: str = "trilinear"):
     """build_fmax_loop variant where collapse times come from per-radius
     TABULATED_CT tables (ELL_SNG or tabulated classic): the tables are
-    replicated over the mesh, the trilinear lookup runs per shard
-    (interpolate_collapse_time, collapse_times.c:1139-1221)."""
+    replicated over the mesh, the lookup (any of the three interpolation
+    variants) runs per shard (interpolate_collapse_time,
+    collapse_times.c:1139-1231)."""
     N = decomp.N
     second = pfft.distributed_second_derivatives(decomp)
     rshard = jax.sharding.NamedSharding(decomp.mesh, decomp.real_spec)
 
     @jax.jit
-    def loop(kden, radii_grid, ct_tabs, ct_dv, ct_idx_map, ct_ampls):
+    def loop(kden, radii_grid, ct_tabs, ct_dv, ct_idx_map, ct_ampls,
+             ct_tabs2):
         Fmax0 = jax.lax.with_sharding_constraint(
             jnp.full((N, N, N), -10.0, jnp.float32), rshard)
         Rmax0 = jax.lax.with_sharding_constraint(
@@ -122,15 +124,16 @@ def build_fmax_loop_tab(decomp, nsmooth: int):
 
         def body(carry, xs):
             Fmax, Rmax, _ = carry
-            R_grid, ism, tab, ampl = xs
+            R_grid, ism, tab, tab2, ampl = xs
             sd = second(kden, R_grid)
             Fmax, Rmax, d_avg, d_var = \
                 collapse.collapse_update_table.__wrapped__(
-                    sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl)
+                    sd, Fmax, Rmax, ism, tab, ct_dv, ct_idx_map, ampl,
+                    ct_tab2=tab2, interp=interp)
             return (Fmax, Rmax, sd), (d_avg, d_var)
 
         xs = (radii_grid, jnp.arange(nsmooth, dtype=jnp.int32), ct_tabs,
-              ct_ampls)
+              ct_tabs2, ct_ampls)
         (Fmax, Rmax, sd), (avgs, variances) = jax.lax.scan(
             body, (Fmax0, Rmax0, sd0), xs, length=nsmooth)
         return Fmax, Rmax, avgs, variances, sd
@@ -233,11 +236,11 @@ def run_fmax_distributed(params, cosmo, mesh: Mesh, scaledep_gm=None,
     radii_grid = jnp.asarray(sm.radii / grid.CellSize, jnp.float32)
     if params.ell_model != "classic":
         ct = prepare_ct_tables(params, cosmo, sm, verbose=verbose)
-        loop = build_fmax_loop_tab(decomp, sm.n)
+        loop = build_fmax_loop_tab(decomp, sm.n, interp=params.ct_interp)
         Fmax, Rmax, d_avgs, d_vars, sd = loop(
             kden, radii_grid, jnp.asarray(ct["tables"]),
             jnp.asarray(ct["dv"]), jnp.asarray(ct["idx_map"]),
-            jnp.asarray(ct["ampl"]))
+            jnp.asarray(ct["ampl"]), jnp.asarray(ct["tables2"]))
     else:
         packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
         loop = build_fmax_loop(decomp, sm.n)

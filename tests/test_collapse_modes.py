@@ -85,6 +85,93 @@ def test_tabulated_matches_classic(hmf_validation_cosmology):
     assert (rel < 0.1).mean() > 0.95
 
 
+def _small_ct(cosmo, ampl=1.3):
+    import jax.numpy as jnp
+    from pinocchio_tpu.ops import tabulated
+    flat = tabulated.build_ct_table(cosmo, ampl, model="classic")
+    tab = flat.reshape(tabulated.CT_NBINS_XY, tabulated.CT_NBINS_XY,
+                       tabulated.CT_NBINS_D).astype(np.float32)
+    dv64 = tabulated.delta_sampling()
+    tab2 = tabulated.spline_d2(tab, dv64)
+    aux = np.linspace(-tabulated.CT_RANGE_D, tabulated.CT_RANGE_D,
+                      tabulated.AUX_N)
+    idx_map = np.clip(np.searchsorted(dv64, aux, "right") - 1,
+                      0, tabulated.CT_NBINS_D - 2).astype(np.int32)
+    return (jnp.asarray(tab), jnp.asarray(tab2),
+            jnp.asarray(dv64.astype(np.float32)), jnp.asarray(idx_map),
+            ampl)
+
+
+def test_ct_interp_node_parity(hmf_validation_cosmology):
+    """All three interpolation variants (collapse_times.c:1139-1231)
+    reproduce the table values exactly at the table nodes — splines and
+    the trilinear lookup all pass through the control points."""
+    import jax.numpy as jnp
+    from pinocchio_tpu.ops import tabulated
+    tab, tab2, dv, idx_map, ampl = _small_ct(hmf_validation_cosmology)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(1, tabulated.CT_NBINS_D - 1, 200)
+    ixs = rng.integers(0, tabulated.CT_NBINS_XY - 1, 200)
+    iys = rng.integers(0, tabulated.CT_NBINS_XY - 1, 200)
+    dvn = np.asarray(dv)
+    d = dvn[ids]
+    x = ixs * tabulated.BIN_X
+    y = iys * tabulated.BIN_X
+    l1 = jnp.asarray((d + 2 * x + y) / 3.0 * ampl, jnp.float32)
+    l2 = jnp.asarray((d - x + y) / 3.0 * ampl, jnp.float32)
+    l3 = jnp.asarray((d - x - 2 * y) / 3.0 * ampl, jnp.float32)
+    want = np.asarray(tab)[iys, ixs, ids]
+    for variant in ("trilinear", "bilinear", "bicubic"):
+        got = np.asarray(tabulated.interp_F(variant, tab, tab2, dv,
+                                            idx_map, jnp.float32(ampl),
+                                            l1, l2, l3))
+        assert np.allclose(got, want, atol=5e-4), variant
+
+
+def test_ct_interp_variants_agree_off_node(hmf_validation_cosmology):
+    """Off-node, the spline variants track trilinear at the interpolation-
+    error level and are closer to the direct classic solution on average
+    (the point of the higher-order options for coarse tables)."""
+    import jax.numpy as jnp
+    from pinocchio_tpu.ops import tabulated
+    from pinocchio_tpu.ops.collapse import ell_classic
+    c = hmf_validation_cosmology
+    tab, tab2, dv, idx_map, ampl = _small_ct(c)
+    rng = np.random.default_rng(5)
+    lam = np.sort(rng.normal(0, ampl / np.sqrt(3), (4000, 3)),
+                  axis=1)[:, ::-1]
+    l1, l2, l3 = (jnp.asarray(lam[:, i], jnp.float32) for i in range(3))
+    F = {v: np.asarray(tabulated.interp_F(v, tab, tab2, dv, idx_map,
+                                          jnp.float32(ampl), l1, l2, l3))
+         for v in ("trilinear", "bilinear", "bicubic")}
+    bc = np.asarray(ell_classic(l1, l2, l3))
+    F_dir = np.where(bc > 0,
+                     1.0 + c.InverseGrowingMode(np.maximum(bc, 1e-30)),
+                     0.0)
+    sel = (F_dir > 1.05) & (F["trilinear"] > 1.0)
+    for v in ("bilinear", "bicubic"):
+        d = np.abs(F[v][sel] - F["trilinear"][sel])
+        assert np.median(d) < 0.01, v
+        err_v = np.abs(F[v][sel] - F_dir[sel]) / F_dir[sel]
+        err_t = np.abs(F["trilinear"][sel] - F_dir[sel]) / F_dir[sel]
+        assert np.median(err_v) <= np.median(err_t) * 1.05, v
+
+
+def test_ct_interp_pipeline_bicubic(hmf_validation_params,
+                                    hmf_validation_cosmology):
+    """ct_interp='bicubic' through run_fmax tracks the trilinear run."""
+    from pinocchio_tpu.fmax import run_fmax
+    p = dataclasses.replace(hmf_validation_params, GridSize=32,
+                            ell_model="tabulated", ct_interp="bicubic")
+    p_tri = dataclasses.replace(p, ct_interp="trilinear")
+    c = hmf_validation_cosmology
+    Fb = np.asarray(run_fmax(p, c, verbose=False).products.Fmax)
+    Ft = np.asarray(run_fmax(p_tri, c, verbose=False).products.Fmax)
+    both = (Fb > 0) & (Ft > 0)
+    assert both.mean() > 0.95 * max((Fb > 0).mean(), (Ft > 0).mean())
+    assert np.median(np.abs(Fb[both] - Ft[both])) < 0.01
+
+
 def test_tabulated_pipeline(hmf_validation_params,
                             hmf_validation_cosmology):
     """64^3 fmax with ell_model='tabulated' tracks the classic run."""
