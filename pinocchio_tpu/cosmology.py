@@ -634,8 +634,9 @@ class Cosmology:
 
     def _read_pk_table_from_camb(self):
         """z=0 CDM+baryon P(k) from CAMB table set (cosmo.c:1192-1336).
-        Scale-dependent growth from the table ratios is not wired up yet;
-        the z=0 spectrum is exact."""
+        The z=0 spectrum read here is exact; scale-dependent growth from
+        the table ratios is built by `_init_scaledep_from_camb` (selected
+        in __init__ when the CAMBTable spectrum is active)."""
         import glob
         import os
         p = self.p

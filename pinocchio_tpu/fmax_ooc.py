@@ -41,9 +41,13 @@ Memory ledger at 1024^3 (bf16 storage, GiB; 15.75 usable measured):
 The 3LPT-b fold therefore runs BEFORE the displacement stack u_v
 exists, and every spectrum is deleted as soon as its stream lands.
 
-Collapse model: ELL_CLASSIC (the HMF_Validation/headline config).  The
-tabulated/SNG models and RECOMPUTE segments keep the monolithic engine —
-config validation refuses the combination with a clear message.
+Collapse models: ELL_CLASSIC (per-radius inverse-growth packs),
+TABULATED_CT and ELL_SNG (per-radius ~1 MB collapse-time tables,
+cycle_slab_tab), and scale-dependent growth (per-radius packs in the
+cycle, per-mode D(k) tables in the LPT streams).  Only the dense-stack
+consumers — RECOMPUTE segments, timeless snapshots, product dumps —
+keep the monolithic engine; config validation refuses those with a
+clear message (ooc_supported).
 
 Reference map: compute_fmax fmax.c:36-190 (cycle), LPT.c:32-235
 (sources), allocations.c:37-251 (the bounded-memory contract this
@@ -85,6 +89,20 @@ def _divisor_batch(n: int, target: int) -> int:
         if n % b == 0:
             best = b
     return best
+
+
+def _kz_schedule(n: int, target: int):
+    """Disjoint (kz0, B) batches covering [0, n): full batches of size
+    min(target, n) plus one REMAINDER batch.  Nh = N/2 + 1 is prime for
+    N = 512 (257), so divisor-only batching degenerates to 257
+    single-plane dispatches over the tunneled link (~22 ms each); a
+    remainder batch costs one extra executable per member instead.
+    Disjointness (no overlap) matters: fft2_batch transforms in place."""
+    B = min(target, n)
+    sched = [(i * B, B) for i in range(n // B)]
+    if n % B:
+        sched.append((n - n % B, n % B))
+    return sched
 
 
 def _dft_inv(N: int):
@@ -197,7 +215,9 @@ class OocEngine:
         self.fdtype = jnp.float16 if on_tpu else jnp.float32  # Fmax store
         self.prec = (jax.lax.Precision.DEFAULT if self.dtype == jnp.bfloat16
                      else jax.lax.Precision.HIGHEST)
-        self.Bkz = _divisor_batch(self.Nh, 16 if N >= 256 else self.Nh)
+        tgt = params.ooc_kz_batch or (16 if N >= 256 else self.Nh)
+        self.kz_sched = _kz_schedule(self.Nh, tgt)
+        self.Bkz = self.kz_sched[0][1]
         self.Bz = _divisor_batch(N, 16 if N >= 256 else N)
         self.Bx = _divisor_batch(N, 32)
         self.plane = kdensity_plane_fn(self.grid, cosmo,
@@ -242,21 +262,20 @@ class OocEngine:
         kvec = (kxp, kyp, kzv)
         return [(kvec[a] * kvec[b]) * smooth for a, b in PAIRS]
 
-    def _read_spec(self, spec, kz0):
+    def _read_spec(self, spec, kz0, B):
         """One kz batch of a resident spectrum [2, N, Nh, N] ->
         [B, N, N] c64 (small slice reads are alias-safe)."""
-        N, B = self.N, self.Bkz
+        N = self.N
         re = jax.lax.dynamic_slice(spec, (0, 0, kz0, 0), (1, N, B, N))[0]
         im = jax.lax.dynamic_slice(spec, (1, 0, kz0, 0), (1, N, B, N))[0]
         return jnp.transpose(re.astype(jnp.float32)
                              + 1j * im.astype(jnp.float32), (1, 0, 2))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def build_hessian_batch(self, us, R_grid, kz0):
+    @partial(jax.jit, static_argnames=("self", "B"), donate_argnums=(1,))
+    def build_hessian_batch(self, us, R_grid, kz0, B):
         """ONE kz batch of the 6 Hessian half-transforms (us: flat
         12-tuple, donated): ifft2(k_a k_b exp(-k^2 R^2/2)/k^2 * delta),
         delta regenerated per plane (no resident spectrum)."""
-        B = self.Bkz
         kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
         d = jax.vmap(self.plane)(kzs)          # [B, N, N] c64
         kxp, kyp = self._kxy()
@@ -268,22 +287,21 @@ class OocEngine:
             self._store_uc(out, 2 * c, _mm_ifft2(d * facs[c]), kz0)
         return tuple(out)
 
-    @partial(jax.jit, static_argnames=("self", "source"),
+    @partial(jax.jit, static_argnames=("self", "source", "B"),
              donate_argnums=(1,))
     def build_first_batch(self, us, spec, gtab, glo, gdx, kz0,
-                          source: str):
+                          source: str, B: int):
         """ONE kz batch of the 3 first-derivative half-transforms
         i k_c / k^2 * g(|k|) (us: flat 6-tuple, donated).
         source='density': regenerate delta per plane (spec unused);
         source='spec': read planes of spec [2, N, Nh, N] (plain arg).
         g: per-|k| growth table over log10 k grid units (scale-dependent
         growth, fmax-pfft.c:344-364); a constant table gives scalar g."""
-        B = self.Bkz
         kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
         if source == "density":
             d = jax.vmap(self.plane)(kzs)
         else:
-            d = self._read_spec(spec, kz0)
+            d = self._read_spec(spec, kz0, B)
         kxp, kyp = self._kxy()
         kzv = ((2.0 * jnp.pi / self.N)
                * kzs.astype(jnp.float32)).reshape(B, 1, 1)
@@ -300,20 +318,20 @@ class OocEngine:
             self._store_uc(out, 2 * c, _mm_ifft2(base * kc), kz0)
         return tuple(out)
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
+    @partial(jax.jit, static_argnames=("self", "B"), donate_argnums=(1, 2))
     def build_single_batch(self, ure, uim, spec, ia: jnp.int32,
                            ib: jnp.int32, use_density: jnp.bool_,
-                           fac_one: jnp.bool_, kz0):
+                           fac_one: jnp.bool_, kz0, B: int = None):
         """ONE kz batch of ONE Hessian component k_ia k_ib / k^2 of
         either the density (regenerated) or a resident spectrum (plain
         arg) — the 3LPT-b pair-folding workhorse.  fac_one=True instead
         applies factor 1 (the field itself: trace term tr(phi,ij) =
         delta, and q2 for the 2 tr(sd) q2 product).  All flags traced so
         the 6x2+2 combinations share one executable."""
-        N, B = self.N, self.Bkz
+        N = self.N
         kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
         d_gen = jax.vmap(self.plane)(kzs)
-        d = jnp.where(use_density, d_gen, self._read_spec(spec, kz0))
+        d = jnp.where(use_density, d_gen, self._read_spec(spec, kz0, B))
         kxp, kyp = self._kxy()
         kzv = ((2.0 * jnp.pi / N)
                * kzs.astype(jnp.float32)).reshape(B, 1, 1)
@@ -351,6 +369,31 @@ class OocEngine:
                       jnp.exp2(-3.321928094887362 * loga), 0.0)
         F = jnp.where(fail, -10.0, F)
         # [Bz, N, N] -> Fmax slab layout [N, N, Bz] (z minor)
+        Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
+        Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
+        Fsl = jnp.maximum(Fsl, Fnew)
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
+        m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
+        m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
+        return Fmax, s1 + m1, s2 + m2
+
+    @partial(jax.jit, static_argnames=("self", "interp"),
+             donate_argnums=(2, 3, 4))
+    def cycle_slab_tab(self, us, Fmax, s1, s2, tab, tab2, dv, idx_map,
+                       ampl, z0, interp: str = "trilinear"):
+        """cycle_slab variant for TABULATED_CT / ELL_SNG: F from
+        interpolation of the per-radius collapse-time table in the chosen
+        variant (interpolate_collapse_time, collapse_times.c:1139-1231;
+        the monolithic analog is collapse.collapse_update_table)."""
+        from .ops import tabulated
+        N, Bz = self.N, self.Bz
+        C, S = _zbases(N, z0, Bz, self.dtype)
+        sd = _consume6(us, C, S, self.prec)
+        delta = sd[0] + sd[1] + sd[2]
+        l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
+        F = tabulated.interp_F(interp, tab, tab2, dv, idx_map, ampl,
+                               l1, l2, l3)
+        F = jnp.where(fail, -10.0, F)
         Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
         Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
         Fsl = jnp.maximum(Fsl, Fnew)
@@ -434,11 +477,12 @@ class OocEngine:
         blk = jnp.stack([wre, wim]).astype(out.dtype)  # [2, Bx, Nh, N]
         return jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def fft2_batch(self, w, kz0):
+    @partial(jax.jit, static_argnames=("self", "B"), donate_argnums=(1,))
+    def fft2_batch(self, w, kz0, B):
         """ONE kz batch of the forward (x, y) fft2 finishing a spectrum
-        in place on w [2, N, Nh, N] (donated)."""
-        N, B = self.N, self.Bkz
+        in place on w [2, N, Nh, N] (donated).  Batches MUST be disjoint
+        (in-place transform)."""
+        N = self.N
         re = jax.lax.dynamic_slice(w, (0, 0, kz0, 0), (1, N, B, N))[0]
         im = jax.lax.dynamic_slice(w, (1, 0, kz0, 0), (1, N, B, N))[0]
         f = _mm_fft2_xy(re.astype(jnp.float32)
@@ -446,12 +490,12 @@ class OocEngine:
         blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(w.dtype)
         return jax.lax.dynamic_update_slice(w, blk, (0, 0, kz0, 0))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(3,))
-    def fft2_pair_batch(self, wre, wim, out, kz0):
+    @partial(jax.jit, static_argnames=("self", "B"), donate_argnums=(3,))
+    def fft2_pair_batch(self, wre, wim, out, kz0, B):
         """ONE kz batch of the forward (x, y) fft2 of the fold
         accumulators (separate f32 re/im [N, Nh, N], plain args) into
         the store-dtype spectrum out [2, N, Nh, N] (donated)."""
-        N, B = self.N, self.Bkz
+        N = self.N
         re = jax.lax.dynamic_slice(wre, (0, kz0, 0), (N, B, N))
         im = jax.lax.dynamic_slice(wim, (0, kz0, 0), (N, B, N))
         f = _mm_fft2_xy(re + 1j * im)
@@ -461,25 +505,24 @@ class OocEngine:
     # ---------------- python-loop drivers ------------------------------
 
     def build_hessian(self, us, R_grid):
-        for i in range(self.Nh // self.Bkz):
-            us = self.build_hessian_batch(us, R_grid,
-                                          jnp.int32(i * self.Bkz))
+        for kz0, B in self.kz_sched:
+            us = self.build_hessian_batch(us, R_grid, jnp.int32(kz0),
+                                          B=B)
         return us
 
     def build_first(self, us, spec, g, source):
-        for i in range(self.Nh // self.Bkz):
-            us = self.build_first_batch(us, spec, *g,
-                                        jnp.int32(i * self.Bkz),
-                                        source=source)
+        for kz0, B in self.kz_sched:
+            us = self.build_first_batch(us, spec, *g, jnp.int32(kz0),
+                                        source=source, B=B)
         return us
 
     def build_single(self, ure, uim, spec, ia, ib, use_density,
                      fac_one):
-        for i in range(self.Nh // self.Bkz):
+        for kz0, B in self.kz_sched:
             ure, uim = self.build_single_batch(
                 ure, uim, spec, jnp.int32(ia), jnp.int32(ib),
                 jnp.bool_(use_density), jnp.bool_(fac_one),
-                jnp.int32(i * self.Bkz))
+                jnp.int32(kz0), B=B)
         return ure, uim
 
     def to_spec(self, q, out):
@@ -489,15 +532,15 @@ class OocEngine:
         counterpart of pass A."""
         for i in range(self.N // self.Bx):
             out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
-        for i in range(self.Nh // self.Bkz):
-            out = self.fft2_batch(out, jnp.int32(i * self.Bkz))
+        for kz0, B in self.kz_sched:
+            out = self.fft2_batch(out, jnp.int32(kz0), B=B)
         return out
 
     def pair_to_spec(self, wre, wim, out):
         """Fold accumulators (f32 re/im pair) -> store-dtype spectrum."""
-        for i in range(self.Nh // self.Bkz):
-            out = self.fft2_pair_batch(wre, wim, out,
-                                       jnp.int32(i * self.Bkz))
+        for kz0, B in self.kz_sched:
+            out = self.fft2_pair_batch(wre, wim, out, jnp.int32(kz0),
+                                       B=B)
         return out
 
     # ---------------- needed-row gather -------------------------------
@@ -532,12 +575,12 @@ def _const_gtab(D: float):
 
 
 def ooc_supported(params: Params, reason: bool = False):
-    """Which configurations the out-of-core engine covers (the headline
-    large-N config); everything else keeps the monolithic engine."""
+    """Which configurations the out-of-core engine covers: all collapse
+    models (ELL_CLASSIC / TABULATED_CT / ELL_SNG) and scale-dependent
+    growth; only the dense-stack consumers (RECOMPUTE segments,
+    snapshots, product dumps) keep the monolithic engine."""
     why = None
-    if params.ell_model != "classic":
-        why = "ooc engine supports ELL_CLASSIC only"
-    elif params.recompute_displacements:
+    if params.recompute_displacements:
         why = "ooc engine does not recompute displacement segments"
     elif params.WriteTimelessSnapshot:
         why = "ooc engine keeps no dense displacement stacks for snapshots"
@@ -546,10 +589,16 @@ def ooc_supported(params: Params, reason: bool = False):
     return (why is None, why) if reason else why is None
 
 
-def run_fmax_ooc(params: Params, cosmo: Cosmology,
+def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                  verbose: bool = True) -> FmaxResult:
     """The out-of-core fmax run: collapse cycle + 3LPT displacements with
     a bounded device working set, host products assembled streaming.
+
+    Covers every collapse model: ELL_CLASSIC via the per-radius
+    inverse-growth packs, TABULATED_CT / ELL_SNG via the per-radius
+    collapse-time tables (~1 MB each — they ride next to the
+    half-transform stacks for free), and scale-dependent growth via
+    per-radius packs (cycle) + per-mode D(k) tables (LPT streams).
 
     Returns an FmaxResult whose host_products are already materialized
     (sorted_by='ci'): fragmentation sorts per sub-box on the host, since
@@ -560,9 +609,6 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     if not ok:
         raise ValueError(f"out-of-core fmax: {why} "
                          "(run the monolithic engine or drop the flag)")
-    if getattr(cosmo, "scale_dep", False):
-        raise ValueError("out-of-core fmax: scale-dependent growth not "
-                         "wired yet; use the monolithic engine")
 
     eng = OocEngine(params, cosmo, verbose=verbose)
     N, Nh = eng.N, eng.Nh
@@ -573,18 +619,36 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     # ---- collapse cycle --------------------------------------------
     t0 = time.perf_counter()
     radii_grid = sm.radii / eng.grid.CellSize
-    packs = inverse_growth_packs(cosmo, sm)
+    tabulated_ct = params.ell_model != "classic"
+    if tabulated_ct:
+        from .fmax import prepare_ct_tables
+        ct = prepare_ct_tables(params, cosmo, sm, verbose=verbose)
+        ct_dv = jnp.asarray(ct["dv"])
+        ct_idx = jnp.asarray(ct["idx_map"])
+        ct_tab2s = np.asarray(ct["tables2"])
+    else:
+        packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
     us = eng.zeros_stack(6)
     Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
     nsl = N // eng.Bz
     stats = []
     for ism in range(sm.n):
         us = eng.build_hessian(us, jnp.float32(radii_grid[ism]))
-        pack = jnp.asarray(packs[ism])
+        if tabulated_ct:
+            tab = jnp.asarray(ct["tables"][ism])
+            tab2 = jnp.asarray(ct_tab2s[ism])
+            ampl = jnp.float32(ct["ampl"][ism])
+        else:
+            pack = jnp.asarray(packs[ism])
         s1, s2 = np.float32(0.0), np.float32(0.0)
         for j in range(nsl):
-            Fmax, s1, s2 = eng.cycle_slab(us, Fmax, s1, s2, pack,
-                                          jnp.int32(j * eng.Bz))
+            if tabulated_ct:
+                Fmax, s1, s2 = eng.cycle_slab_tab(
+                    us, Fmax, s1, s2, tab, tab2, ct_dv, ct_idx, ampl,
+                    jnp.int32(j * eng.Bz), interp=params.ct_interp)
+            else:
+                Fmax, s1, s2 = eng.cycle_slab(us, Fmax, s1, s2, pack,
+                                              jnp.int32(j * eng.Bz))
         stats.append((s1, s2))
     for ism, (m1, m2) in enumerate(stats):
         # syncs the cycle; the per-slab loop accumulates SUMS of slab
@@ -666,8 +730,20 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
     t0 = time.perf_counter()
     z0out = params.zlast
 
-    def growth(order_fn, z):
-        return _const_gtab(float(order_fn(z)))
+    order_fns = (cosmo.GrowingMode, cosmo.GrowingMode_2LPT,
+                 cosmo.GrowingMode_3LPT_1, cosmo.GrowingMode_3LPT_2)
+    if getattr(cosmo, "scale_dep", False):
+        # per-mode D_i(z, k) tables over log10 |k| grid units — exactly
+        # the lookup build_first_batch already implements
+        # (fmax-pfft.c:344-364)
+        from .fmax import growth_k_tables
+        _gtabs, _glo, _gdx = growth_k_tables(cosmo, z0out, N)
+
+        def growth(iorder, z):
+            return (_gtabs[iorder], _glo, _gdx)
+    else:
+        def growth(iorder, z):
+            return _const_gtab(float(order_fns[iorder](z)))
 
     q2hat = None
     if lpt_order >= 2:
@@ -751,22 +827,22 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology,
 
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
     u_v = eng.zeros_stack(3)
-    g1 = growth(cosmo.GrowingMode, z0out)
+    g1 = growth(0, z0out)
     u_v = eng.build_first(u_v, dummy, g1, source="density")
     stream_rows("v1", u_v)
 
     if lpt_order >= 2:
-        g2 = growth(cosmo.GrowingMode_2LPT, z0out)
+        g2 = growth(1, z0out)
         u_v = eng.build_first(u_v, q2hat, g2, source="spec")
         stream_rows("v2", u_v)
     del q2hat
 
     if lpt_order >= 3:
-        g31 = growth(cosmo.GrowingMode_3LPT_1, z0out)
+        g31 = growth(2, z0out)
         u_v = eng.build_first(u_v, q31hat, g31, source="spec")
         stream_rows("v31", u_v)
         del q31hat
-        g32 = growth(cosmo.GrowingMode_3LPT_2, z0out)
+        g32 = growth(3, z0out)
         u_v = eng.build_first(u_v, q32hat, g32, source="spec")
         stream_rows("v32", u_v)
         del q32hat

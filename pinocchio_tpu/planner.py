@@ -78,7 +78,10 @@ def ooc_device_peak(params: Params, frac: float = 0.8) -> float:
     fmax = float(N) ** 3 * 2
     cycle = 6 * half + fmax
     spec = 2 * Nh * float(N) ** 2 * store       # one [2, N, Nh, N] spectrum
-    idx = min(1.0, frac * 1.1) * float(N) ** 3 * 4
+    # the real table is padded to nsl * cap with cap ~ 1.02x the MAX
+    # per-slab collapsed count, not the mean: the 1.25 factor is headroom
+    # for z-clustering of the collapsed fraction above uniformity
+    idx = min(1.0, frac * 1.1 * 1.25) * float(N) ** 3 * 4
     vstream = 3 * half + 3 * spec + idx
     return max(cycle, vstream)
 
@@ -94,8 +97,6 @@ def ooc_selected(params: Params, n_chips: int = 1,
     if params.ooc != "auto" or n_chips > 1 or not ooc_supported(params):
         return False
     if params.ReadProductsFromDumps:
-        return False
-    if cosmo is not None and getattr(cosmo, "scale_dep", False):
         return False
     rep = plan(params, n_chips=n_chips, verbose=False, cosmo=cosmo)
     return not rep["fits_hbm"]
@@ -176,6 +177,11 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
         loop_phase = dict(half_transforms=cyc - float(N) ** 3 * 2,
                           fmax=float(N) ** 3 * 2)
         lpt_phase = dict(device_peak=device_total)
+        # the breakdown must match the phase the peak came from (the
+        # monolithic loop_total/lpt_total comparison below is meaningless
+        # here)
+        ooc_breakdown = (loop_phase if device_total <= cyc
+                         else lpt_phase)
 
     # ---- fragmentation (host) ----
     frac = frac0
@@ -210,7 +216,8 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
         grid=N, n_chips=n_chips, nsmooth=sm.n, nseg=nseg,
         device_bytes=device_total,
         device_peak_phase=device_peak_phase,
-        device_breakdown=(loop_phase if loop_total >= lpt_total
+        device_breakdown=(ooc_breakdown if ooc
+                          else loop_phase if loop_total >= lpt_total
                           else lpt_phase),
         device_limit=hbm,
         fits_hbm=device_total < hbm,

@@ -99,13 +99,113 @@ def test_ooc_fragmentation_end_to_end(ooc_pair, hmf_validation_cosmology):
         assert abs(n0 - n1) <= max(2, 0.02 * n0)
 
 
+def test_ooc_kz_schedule():
+    """Disjoint full+remainder coverage of [0, Nh) for prime Nh (the
+    N=512 -> Nh=257 dispatch-bound case)."""
+    from pinocchio_tpu.fmax_ooc import _kz_schedule
+    for n, tgt in ((257, 16), (17, 7), (513, 16), (8, 16)):
+        sched = _kz_schedule(n, tgt)
+        cover = sorted(kz for kz0, B in sched for kz in range(kz0, kz0 + B))
+        assert cover == list(range(n)), (n, tgt)
+        assert len(sched) <= -(-n // min(tgt, n)) + 1
+
+
+def test_ooc_remainder_batches_match(ooc_pair, hmf_validation_params,
+                                     hmf_validation_cosmology):
+    """A non-divisor kz batch (remainder schedule) reproduces the
+    single-batch result exactly: per-plane builds are independent."""
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    p, r_ooc, _ = ooc_pair
+    p7 = dataclasses.replace(p, ooc_kz_batch=7)   # Nh=17 -> 7+7+3
+    r7 = run_fmax_ooc(p7, hmf_validation_cosmology, verbose=False)
+    assert np.allclose(np.asarray(r7.products.Fmax),
+                       np.asarray(r_ooc.products.Fmax), atol=1e-5)
+    for k in r_ooc.host_products.vel:
+        assert np.allclose(r7.host_products.vel[k],
+                           r_ooc.host_products.vel[k],
+                           rtol=1e-4, atol=1e-5), k
+
+
 def test_ooc_refuses_unsupported(hmf_validation_params,
                                  hmf_validation_cosmology):
     from pinocchio_tpu.fmax_ooc import run_fmax_ooc
     p = dataclasses.replace(hmf_validation_params, GridSize=32,
-                            ell_model="sng")
-    with pytest.raises(ValueError, match="ELL_CLASSIC"):
+                            recompute_displacements=True)
+    with pytest.raises(ValueError, match="recompute"):
         run_fmax_ooc(p, hmf_validation_cosmology, verbose=False)
+
+
+def _ooc_oracle_kdensity(p, c):
+    """The monolithic-engine delta(k) matching the ooc realization (the
+    per-kz-plane key fold defines it)."""
+    from pinocchio_tpu.grids import Grid
+    from pinocchio_tpu.ic import kdensity_plane_fn
+    N = p.GridSize
+    grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
+    plane = kdensity_plane_fn(grid, c, p.RandomSeed)
+    return jax.jit(lambda: jax.vmap(plane)(
+        jnp.arange(N // 2 + 1, dtype=jnp.int32)).transpose(1, 2, 0))()
+
+
+def _assert_fmax_close(r_ooc, r_mono, tol_outlier=1e-3):
+    F_o = np.asarray(r_ooc.products.Fmax)
+    F_m = np.asarray(r_mono.products.Fmax)
+    d = np.abs(F_o - F_m)
+    assert (d > 0.01).mean() < tol_outlier
+    assert np.median(d) < 1e-4
+    assert np.allclose(r_ooc.smoothing.true_variance,
+                       r_mono.smoothing.true_variance, rtol=1e-4)
+
+
+@pytest.mark.parametrize("model", ["tabulated", "sng"])
+def test_ooc_tabulated_models_match(hmf_validation_params,
+                                    hmf_validation_cosmology, model):
+    """TABULATED_CT / ELL_SNG in the ooc engine (cycle_slab_tab) agree
+    with the monolithic fmax_loop_tab on the same realization
+    (VERDICT r3 item 4: 1024^3 is no longer ELL_CLASSIC-only)."""
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    p = dataclasses.replace(hmf_validation_params, GridSize=32,
+                            sparse_transfer=False, transfer_f16=False,
+                            ooc_dtype="float32", ell_model=model)
+    c = hmf_validation_cosmology
+    r_ooc = run_fmax_ooc(p, c, verbose=False)
+    r_mono = run_fmax(p, c, kdensity=_ooc_oracle_kdensity(p, c),
+                      verbose=False)
+    _assert_fmax_close(r_ooc, r_mono)
+
+
+def test_ooc_scaledep_matches_monolithic(hmf_validation_params):
+    """Scale-dependent growth (f(R) per-k growth, the strongest
+    k-dependence in the matrix) through the ooc engine: per-radius
+    inverse-growth packs in the cycle, per-mode D(k) tables in the
+    displacement streams."""
+    from pinocchio_tpu.cosmology import Cosmology
+    from pinocchio_tpu.fmax import Smoothing, run_fmax
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    from pinocchio_tpu.io.catalogs import largest_halo_mass
+    from pinocchio_tpu.scaledep import set_scaledep_gm
+    p = dataclasses.replace(hmf_validation_params, GridSize=32,
+                            sparse_transfer=False, transfer_f16=False,
+                            ooc_dtype="float32", mod_grav_fr=True,
+                            fr0=1e-7, scale_dependent=True)
+    c = Cosmology(p)
+    assert c.scale_dep
+    gm = set_scaledep_gm(p, c, Smoothing.build(p, c),
+                         largest_halo_mass(p, c), verbose=False)
+    r_ooc = run_fmax_ooc(p, c, scaledep_gm=gm, verbose=False)
+    r_mono = run_fmax(p, c, kdensity=_ooc_oracle_kdensity(p, c),
+                      scaledep_gm=gm, verbose=False)
+    _assert_fmax_close(r_ooc, r_mono)
+    # the k-dependent LPT growth path: first-order rows must agree
+    sp = r_ooc.host_products
+    F_m = np.asarray(r_mono.products.Fmax).ravel()
+    sel = np.flatnonzero(F_m >= p.Flast)
+    common = np.intersect1d(sp.ci, sel)
+    pos = {ci: i for i, ci in enumerate(sp.ci)}
+    rows = np.array([pos[ci] for ci in common])
+    dense = np.asarray(r_mono.products.vel["v1"]).reshape(3, -1)[:, common].T
+    assert np.allclose(sp.vel["v1"][rows], dense, rtol=3e-3, atol=3e-3)
 
 
 def test_ooc_pipeline_end_to_end(hmf_validation_params, tmp_path):
