@@ -1,8 +1,9 @@
 """Distributed 3-D FFT + k-space kernels over a device mesh.
 
-TPU-native replacement for the reference's PFFT slab/pencil decomposition
-(fmax-pfft.c, initialization.c:1205-1379).  Two decompositions, mirroring
-set_fft_decomposition's 1-D / 2-D procmesh choice:
+TPU-native replacement for the reference's PFFT slab/pencil/volumes
+decomposition (fmax-pfft.c, initialization.c:1205-1379).  Three
+decompositions, mirroring set_fft_decomposition's 1-D / 2-D / 3-D
+procmesh choice:
 
 * **Slab** (1-D mesh): real fields sharded along x; the r2c transform runs
   the two local axes on-chip and gathers the x axis with a single ICI
@@ -15,12 +16,19 @@ set_fft_decomposition's 1-D / 2-D procmesh choice:
   height N/p is replaced by an N/pa x N/pb pencil, removing the slab limit
   p <= N (initialization.c:1236-1301 picks pencils for the same reason).
 
+* **Volumes** (3-D mesh 'a' x 'b' x 'c'): real fields sharded along all
+  three axes; three subgroup all_to_alls per transform (VolumeDecomp
+  docstring) — the reference's fall-through when the task count exceeds
+  pencil capacity (initialization.c:1205-1234).
+
 Layouts (global shapes, p = mesh size, Nh = N//2+1):
   slab    real [N, N, N]  P('x', None, None)   k [N, N, Nh]   P(None,'x',None)
   pencil  real [N, N, N]  P('a', 'b', None)    k [N, N, Nhp]  P(None,'a','b')
-where Nhp = pb*ceil(Nh/pb): the rfft half-axis is zero-padded so the kz
-blocks split evenly; padded planes stay exactly zero through every linear
-step and are sliced off before the inverse r2c axis.
+  volumes real [N, N, N]  P('a', 'b', 'c')     k [N, N, Nhp]  P(None,'a',('b','c'))
+where Nhp = g*ceil(Nh/g) (g = pb or pb*pc): the rfft half-axis is
+zero-padded so the kz blocks split evenly; padded planes stay exactly
+zero through every linear step and are sliced off before the inverse r2c
+axis.
 
 The Green's-function x smoothing multiply is computed per shard with the
 global k offsets from the mesh coordinates, exactly mirroring the per-task
@@ -41,6 +49,7 @@ from ..grids import signed_modes
 AX = "x"    # mesh axis name for the slab decomposition
 AXA = "a"   # pencil mesh axes
 AXB = "b"
+AXC = "c"   # third axis of the volumes (3-D) mesh
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -64,6 +73,27 @@ def make_pencil_mesh(n_devices: int | None = None,
         shape = (pa, n // pa)
     assert shape[0] * shape[1] == n
     return Mesh(np.array(devs[:n]).reshape(shape), (AXA, AXB))
+
+
+def make_volume_mesh(n_devices: int | None = None,
+                     shape: tuple | None = None) -> Mesh:
+    """3-D (volumes) mesh; factorization defaults to the most cubic
+    pa x pb x pc split (the 3-D procmesh fallback of
+    set_fft_decomposition, initialization.c:1205-1379, used when the
+    task count exceeds what a pencil mesh can hold)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        pa = round(n ** (1.0 / 3.0))
+        while n % pa:
+            pa -= 1
+        rest = n // pa
+        pb = int(math.sqrt(rest))
+        while rest % pb:
+            pb -= 1
+        shape = tuple(sorted((pa, pb, rest // pb), reverse=True))
+    assert shape[0] * shape[1] * shape[2] == n
+    return Mesh(np.array(devs[:n]).reshape(shape), (AXA, AXB, AXC))
 
 
 def shard_map_fn(mesh, fn, in_specs, out_specs):
@@ -192,8 +222,98 @@ class PencilDecomp:
         return two_pi * mx, two_pi * my, two_pi * mz
 
 
+class VolumeDecomp:
+    """3-D (volumes) decomposition: three subgroup all_to_alls per
+    transform (the reference's 3-D procmesh fall-through when the task
+    count exceeds pencil capacity, initialization.c:1205-1379,
+    fmax-pfft.c:95-111).
+
+    Real fields are sharded along all three axes [N/pa, N/pb, N/pc]; the
+    forward transform gathers z within each 'c' line (scattering y),
+    transforms z, gathers y across the combined ('b','c') plane
+    (scattering kz), transforms y, then gathers x within each 'a' line
+    (scattering ky) and transforms x, landing on the k layout
+    [N, N/pa, Nhp/(pb*pc)] = P(None, 'a', ('b','c')).  The combined
+    ('b','c') collective enumerates its group b-major, which matches
+    both the y-block ordering the 'c' scatter produced and the kz block
+    offsets of local_kvectors."""
+
+    def __init__(self, mesh: Mesh, N: int):
+        assert tuple(mesh.axis_names) == (AXA, AXB, AXC)
+        self.mesh, self.N = mesh, N
+        self.pa, self.pb, self.pc = mesh.devices.shape
+        pbc = self.pb * self.pc
+        assert N % self.pa == 0 and N % self.pb == 0 \
+            and (N // self.pb) % self.pc == 0, \
+            "volumes needs N % pa == 0 and (N/pb) % pc == 0"
+        Nh = N // 2 + 1
+        self.Nhp = pbc * ((Nh + pbc - 1) // pbc)
+        self.real_spec = P(AXA, AXB, AXC)
+        self.k_spec = P(None, AXA, (AXB, AXC))
+        self.k_global_shape = (N, N, self.Nhp)
+
+    def real_sharding(self):
+        return NamedSharding(self.mesh, self.real_spec)
+
+    def kspace_sharding(self):
+        return NamedSharding(self.mesh, self.k_spec)
+
+    def fwd_local(self, r):
+        """local [N/pa, N/pb, N/pc] real -> [N, N/pa, Nhp/(pb*pc)]."""
+        Nh = self.N // 2 + 1
+        # gather z within the 'c' line (scatter y)
+        k = jax.lax.all_to_all(r, AXC, split_axis=1, concat_axis=2,
+                               tiled=True)
+        k = jnp.fft.rfft(k, axis=2)
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, self.Nhp - Nh)))
+        # gather y across the ('b','c') plane (scatter kz)
+        k = jax.lax.all_to_all(k, (AXB, AXC), split_axis=2,
+                               concat_axis=1, tiled=True)
+        k = jnp.fft.fft(k, axis=1)
+        # gather x within the 'a' line (scatter ky)
+        k = jax.lax.all_to_all(k, AXA, split_axis=1, concat_axis=0,
+                               tiled=True)
+        return jnp.fft.fft(k, axis=0)
+
+    def inv_local(self, k):
+        """local [N, N/pa, Nhp/(pb*pc)] complex -> [N/pa, N/pb, N/pc]."""
+        from ..backend import irfft_z
+        Nh = self.N // 2 + 1
+        k = jnp.fft.ifft(k, axis=0)
+        k = jax.lax.all_to_all(k, AXA, split_axis=0, concat_axis=1,
+                               tiled=True)
+        k = jnp.fft.ifft(k, axis=1)
+        k = jax.lax.all_to_all(k, (AXB, AXC), split_axis=1,
+                               concat_axis=2, tiled=True)
+        r = irfft_z(k[:, :, :Nh], self.N)
+        return jax.lax.all_to_all(r, AXC, split_axis=2, concat_axis=1,
+                                  tiled=True)
+
+    def local_kvectors(self):
+        """k in grid units for the volumes k layout: ky offset by the
+        'a' coordinate, kz by the b-major ('b','c') group position
+        (padded kz tail carries exactly-zero modes)."""
+        N = self.N
+        a = jax.lax.axis_index(AXA)
+        b = jax.lax.axis_index(AXB)
+        c = jax.lax.axis_index(AXC)
+        mloc_y = N // self.pa
+        mloc_z = self.Nhp // (self.pb * self.pc)
+        two_pi = 2.0 * np.pi / N
+        mx = jnp.asarray(signed_modes(N), jnp.float32).reshape(N, 1, 1)
+        my_idx = a * mloc_y + jnp.arange(mloc_y)
+        my = jnp.where(my_idx <= N // 2, my_idx, my_idx - N
+                       ).astype(jnp.float32).reshape(1, mloc_y, 1)
+        mz = ((b * self.pc + c) * mloc_z
+              + jnp.arange(mloc_z)).astype(jnp.float32
+                                           ).reshape(1, 1, mloc_z)
+        return two_pi * mx, two_pi * my, two_pi * mz
+
+
 def make_decomp(mesh: Mesh, N: int):
-    return (PencilDecomp(mesh, N) if len(mesh.axis_names) == 2
+    naxes = len(mesh.axis_names)
+    return (VolumeDecomp(mesh, N) if naxes == 3
+            else PencilDecomp(mesh, N) if naxes == 2
             else SlabDecomp(mesh, N))
 
 

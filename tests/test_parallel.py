@@ -21,6 +21,8 @@ def _meshes():
     out = [("slab", pfft.make_mesh(8))]
     out.append(("pencil42", pfft.make_pencil_mesh(8)))          # 4x2
     out.append(("pencil24", pfft.make_pencil_mesh(8, (2, 4))))  # 2x4
+    out.append(("vol222", pfft.make_volume_mesh(8)))            # 2x2x2
+    out.append(("vol421", pfft.make_volume_mesh(8, (4, 2, 1))))
     return out
 
 
@@ -98,7 +100,8 @@ def test_distributed_kdensity_bitexact(small_setup):
     grid = Grid(N=N, BoxSize=p.BoxSize_htrue)
     ref = np.asarray(generate_kdensity(grid, cosmo, p.RandomSeed))
     Nh = N // 2 + 1
-    for mesh in (pfft.make_mesh(8), pfft.make_pencil_mesh(8)):
+    for mesh in (pfft.make_mesh(8), pfft.make_pencil_mesh(8),
+                 pfft.make_volume_mesh(8)):
         d = pfft.make_decomp(mesh, N)
         got = np.asarray(build_kdensity(d, grid, cosmo,
                                         p.RandomSeed))[:, :, :Nh]
@@ -130,6 +133,27 @@ def test_run_fmax_distributed_matches_single_chip(small_setup):
     c_ref = int((F_ref >= 1.0).sum())
     c = int((F >= 1.0).sum())
     assert abs(c - c_ref) <= max(5, c_ref // 1000)
+
+
+def test_run_fmax_distributed_volume_matches_single_chip(small_setup):
+    """Full sharded fmax on the 3-D volumes mesh (2x2x2: three subgroup
+    all_to_alls per transform) vs the single-chip path."""
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.parallel.driver import run_fmax_distributed
+    p, cosmo = small_setup
+    ref = run_fmax(p, cosmo, verbose=False)
+    F_ref = np.asarray(ref.products.Fmax)
+    r = run_fmax_distributed(p, cosmo, pfft.make_volume_mesh(8),
+                             verbose=False)
+    F = np.asarray(r.products.Fmax)
+    for key in ref.products.vel:
+        a = np.asarray(ref.products.vel[key])
+        b = np.asarray(r.products.vel[key])
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(a).max(), 1e-3), key
+    assert np.allclose(r.smoothing.true_variance,
+                       ref.smoothing.true_variance, rtol=1e-4)
+    nflip = int((np.abs(F - F_ref) > 0.1).sum())
+    assert nflip < 30, f"{nflip} collapse-branch flips"
 
 
 def test_distributed_tabulated_matches_single_chip(small_setup):
