@@ -191,26 +191,83 @@ def _write_record(fd, arr: np.ndarray):
     marker.tofile(fd)
 
 
-def compute_mf(params: Params, cosmo: Cosmology, snap: CatalogSnapshot,
-               directory: str = ".", largest: float = None) -> str:
-    """Halo mass function with Poisson errors + analytic fit
-    (compute_mf, write_halos.c:35-192)."""
-    hfac = params.Hubble100 if params.OutputInH100 else 1.0
-    hfac4 = hfac ** 4
-    vol = params.GridSize ** 3 * params.InterPartDist ** 3
+def mf_histogram(params: Params, snap: CatalogSnapshot,
+                 largest: float) -> tuple:
+    """The mass-function bin histograms (counts, summed mass) — the
+    per-task partial the reference's collector sums (write_halos.c:95-100
+    MPI_Reduce).  Binning is deterministic in (params, largest), so
+    partials from different hosts are bin-aligned."""
     mmin = math.log10(params.MinHaloMass * params.ParticleMass) \
         - 0.001 * DELTAM
-    if largest is None:
-        largest = largest_halo_mass(params, cosmo)
     mmax = math.log10(largest) + 3.0 * DELTAM
     nbin = int((mmax - mmin) / DELTAM) + 1
-
     amass = snap.mass.astype(np.float64) * params.ParticleMass
     ibin = ((np.log10(amass) - mmin) / DELTAM).astype(int)
     okbin = (ibin >= 0) & (ibin < nbin)
     ninbin = np.bincount(ibin[okbin], minlength=nbin)
     massinbin = np.bincount(ibin[okbin], weights=amass[okbin],
                             minlength=nbin)
+    return ninbin, massinbin, mmin, nbin
+
+
+def reduce_parts(final_path: str, host_id: int, nhosts: int,
+                 arrays: dict):
+    """Cross-host reduction through tiny part files (the collector-task
+    reduce of write_halos.c:35-225 without MPI: hosts share the output
+    filesystem).  Writes this host's partial arrays atomically as
+    <final_path>.part<h>.npz; when all nhosts parts are present, loads
+    and SUMS them, removes the parts and returns the merged dict — the
+    caller then writes the final file.  Returns None while other hosts'
+    parts are still pending (the last host to land performs the merge;
+    two simultaneous finishers would both write identical content)."""
+    part = f"{final_path}.part{host_id}.npz"
+    tmp = part + ".tmp"
+    with open(tmp, "wb") as fd:
+        np.savez(fd, **arrays)
+    os.replace(tmp, part)
+    paths = [f"{final_path}.part{h}.npz" for h in range(nhosts)]
+    if not all(os.path.exists(p) for p in paths):
+        return None
+    merged = None
+    for p in paths:
+        with np.load(p) as d:
+            if merged is None:
+                merged = {k: d[k].copy() for k in d.files}
+            else:
+                for k in merged:
+                    merged[k] = merged[k] + d[k]
+    for p in paths:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    return merged
+
+
+def compute_mf(params: Params, cosmo: Cosmology, snap: CatalogSnapshot,
+               directory: str = ".", largest: float = None,
+               hosts: tuple = None) -> str:
+    """Halo mass function with Poisson errors + analytic fit
+    (compute_mf, write_halos.c:35-192).
+
+    hosts=(host_id, nhosts): multi-host mode — snap holds only this
+    host's halos; the bin histograms reduce across hosts through part
+    files and the LAST host to land writes the final file (returns None
+    on the other hosts)."""
+    hfac = params.Hubble100 if params.OutputInH100 else 1.0
+    hfac4 = hfac ** 4
+    vol = params.GridSize ** 3 * params.InterPartDist ** 3
+    if largest is None:
+        largest = largest_halo_mass(params, cosmo)
+    ninbin, massinbin, mmin, nbin = mf_histogram(params, snap, largest)
+    if hosts is not None and hosts[1] > 1:
+        final = os.path.join(directory,
+                             _catalog_filename(params, snap.z, "mf"))
+        merged = reduce_parts(final, hosts[0], hosts[1],
+                              dict(ninbin=ninbin, massinbin=massinbin))
+        if merged is None:
+            return None
+        ninbin, massinbin = merged["ninbin"], merged["massinbin"]
 
     D = float(cosmo.GrowingMode(snap.z, params.k_for_GM))
     path = os.path.join(directory, _catalog_filename(params, snap.z, "mf"))

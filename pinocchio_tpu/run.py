@@ -20,7 +20,8 @@ from .cosmology import Cosmology
 
 def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                  write_outputs: bool = True, chips: int = None,
-                 enforce_memory: bool = True, hosts=None):
+                 enforce_memory: bool = True, hosts=None,
+                 decomp: str = "auto"):
     """hosts=(host_id, nhosts): multi-host mode (parallel/multihost) —
     this process sweeps its share of the sub-boxes from its own chips'
     shards and writes its catalogs as .out.<host> chunks."""
@@ -88,11 +89,21 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         if verbose:
             print("[fmax] products read from dumps")
     elif chips and chips > 1:
-        # mesh-sharded device pipeline (slab for prime counts, else pencil)
+        # mesh-sharded device pipeline: explicit --decomp, or auto (slab
+        # for prime counts, else pencil — the set_fft_decomposition
+        # choice, initialization.c:1205-1379; volumes is the 3-D
+        # fall-through for counts beyond pencil capacity)
         from .parallel import pfft
         from .parallel.driver import run_fmax_distributed
-        mesh = (pfft.make_pencil_mesh(chips) if chips >= 4
-                and chips % 2 == 0 else pfft.make_mesh(chips))
+        if decomp == "slab":
+            mesh = pfft.make_mesh(chips)
+        elif decomp == "pencil":
+            mesh = pfft.make_pencil_mesh(chips)
+        elif decomp == "volumes":
+            mesh = pfft.make_volume_mesh(chips)
+        else:
+            mesh = (pfft.make_pencil_mesh(chips) if chips >= 4
+                    and chips % 2 == 0 else pfft.make_mesh(chips))
         if verbose:
             print(f"[fmax] sharded over mesh {dict(mesh.shape)}")
         fmax_res = run_fmax_distributed(params, cosmo, mesh,
@@ -100,7 +111,8 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                                         verbose=verbose)
     elif use_ooc:
         from .fmax_ooc import run_fmax_ooc
-        fmax_res = run_fmax_ooc(params, cosmo, verbose=verbose)
+        fmax_res = run_fmax_ooc(params, cosmo, scaledep_gm=scaledep_gm,
+                                verbose=verbose)
     else:
         fmax_res = run_fmax(params, cosmo, scaledep_gm=scaledep_gm,
                             verbose=verbose)
@@ -186,20 +198,22 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             cat_futs = [_io_ex.submit(io_cat.write_catalog, params, snap,
                                       io_dir)
                         for snap in frag_res.catalogs]
-            mf_futs = [_io_ex.submit(io_cat.compute_mf, params, cosmo,
-                                     snap, outdir, largest=largest)
-                       for snap in frag_res.catalogs] if nhosts == 1 \
-                else []
+            # multi-host: each host's bin histograms reduce through part
+            # files; the last host to land writes the final mf.out (the
+            # collector-task reduce, write_halos.c:95-100)
+            mf_futs = [_io_ex.submit(
+                io_cat.compute_mf, params, cosmo, snap, outdir,
+                largest=largest,
+                hosts=(host_id, nhosts) if nhosts > 1 else None)
+                for snap in frag_res.catalogs]
             for fut in cat_futs:
                 written.append(_host_chunk(fut.result()))
             tick("io_catalog")
             for fut in mf_futs:
-                written.append(fut.result())
+                p = fut.result()
+                if p is not None:
+                    written.append(p)
             tick("io_mf")
-        if nhosts > 1 and verbose and host_id == 0:
-            print("  multi-host: mass functions skipped (each host holds "
-                  "a partial catalog; merge the .out.<host> chunks and "
-                  "rerun compute_mf offline)")
         if not params.DoNotWriteHistories:
             written.append(_host_chunk(io_cat.write_histories(
                 params, frag_res.groups, io_dir)))
@@ -213,6 +227,15 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             if nhosts == 1:
                 written.append(write_nz(params, cosmo, plc_geom,
                                         frag_res.plc.nz, outdir))
+            else:
+                # n(z) histogram reduces across hosts like the mf bins
+                nz_final = os.path.join(
+                    outdir, f"pinocchio.{params.RunFlag}.nz.out")
+                merged = io_cat.reduce_parts(nz_final, host_id, nhosts,
+                                             dict(nz=frag_res.plc.nz))
+                if merged is not None:
+                    written.append(write_nz(params, cosmo, plc_geom,
+                                            merged["nz"], outdir))
             tick("io_plc")
         if params.WriteTimelessSnapshot:
             if nhosts > 1:
@@ -377,6 +400,11 @@ def main(argv=None):
     ap.add_argument("--chips", type=int, default=None,
                     help="shard the fmax phase over this many devices "
                     "(pencil mesh when the count factors)")
+    ap.add_argument("--decomp", default="auto",
+                    choices=["auto", "slab", "pencil", "volumes"],
+                    help="FFT domain decomposition for --chips "
+                    "(set_fft_decomposition analog; auto = slab for "
+                    "prime counts, else pencil)")
     ap.add_argument("--hosts", type=int, default=None,
                     help="number of processes in a multi-host run "
                     "(jax.distributed bring-up; launch one process per "
@@ -416,7 +444,7 @@ def main(argv=None):
         run_special_mode(params, args.mode, outdir=args.outdir)
     else:
         run_pipeline(params, outdir=args.outdir, chips=args.chips,
-                     hosts=hosts)
+                     hosts=hosts, decomp=args.decomp)
 
 
 if __name__ == "__main__":

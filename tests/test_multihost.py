@@ -190,6 +190,20 @@ def test_merge_chunks_tool(hmf_validation_params, tmp_path):
     assert any(f.endswith(".catalog.out.0") for f in chunks)
     assert any(f.endswith(".catalog.out.1") for f in chunks)
 
+    # in-run multi-host mass function + n(z) (VERDICT r3 item 6): the
+    # per-host bin histograms reduce through part files and the last
+    # host writes the final files — identical to the single-process run,
+    # no merge_chunks needed, no part files left behind
+    assert not any(".part" in f for f in chunks)
+    mf_inrun = np.loadtxt(str(multi / "pinocchio.0.0000.test.mf.out"))
+    mf_single = np.loadtxt(str(single / "pinocchio.0.0000.test.mf.out"))
+    np.testing.assert_allclose(mf_inrun[:, 4], mf_single[:, 4])
+    np.testing.assert_allclose(mf_inrun[:, 1], mf_single[:, 1],
+                               rtol=1e-6)
+    nz_inrun = np.loadtxt(str(multi / "pinocchio.test.nz.out"))
+    nz_single = np.loadtxt(str(single / "pinocchio.test.nz.out"))
+    np.testing.assert_allclose(nz_inrun[:, 2], nz_single[:, 2])
+
     # the tool reads the run's parameter file: give it one that matches
     # this test's overrides (GridSize 64, single z=0 output)
     src = open("/root/reference/HMF_Validation/parameter_file").read()
