@@ -213,3 +213,35 @@ def test_two_turn_exchange_catalog_union(sharded64,
     out0 = exchange_products(p, res, mesh, geoms, 2, turn=0, f16=False)
     turn0_copies = sum(len(out0[h].ci) for h in range(2))
     assert turn0_copies < padded_copies
+
+
+@pytest.mark.slow
+def test_exchange_scaling_16_hosts():
+    """16 mocked hosts on a 16-device mesh (subprocess: the conftest pins
+    8 devices): the union property holds at 16 hosts and the pack time
+    grows sub-linearly in the host count — the per-host membership pass
+    is O(nhosts x cells) worst-case (like the reference's per-destination
+    hypercube passes, distribute.c:280-307), but the scatters that
+    dominate are host-count-independent (VERDICT r3 item 8)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "scripts/exp_exchange_scaling.py", "--grid", "64"],
+        cwd="/root/repo", env=env, capture_output=True, text=True,
+        timeout=1200)
+    assert r.returncode == 0, r.stdout + r.stderr
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("RESULT ")][-1]
+    data = json.loads(line[len("RESULT "):])
+    rows = {row["nhosts"]: row for row in data["rows"]}
+    assert set(rows) == {2, 4, 8, 16}
+    for row in rows.values():
+        assert row["delivered"] > 0
+    # 8x the hosts must cost well under 8x the pack+deliver time
+    assert rows[16]["pack_s"] < 6.0 * rows[2]["pack_s"], rows
