@@ -127,6 +127,13 @@ class Params:
                                         # (None = 16 at N>=256 else Nh;
                                         # a non-divisor of Nh adds one
                                         # remainder batch)
+    ooc_group: int = None               # ooc batches fused per dispatch
+                                        # via an in-program fori_loop
+                                        # (None = 4; 1 = one dispatch
+                                        # per batch)
+    ooc_z_batch: int = None             # z planes per ooc consumer slab
+                                        # (None = 16 at N>=256 else N;
+                                        # must divide N)
 
     # output redshift list (chronological = descending z), read from OutputList
     output_z: List[float] = field(default_factory=lambda: [0.0])

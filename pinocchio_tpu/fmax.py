@@ -926,7 +926,12 @@ def fmax_pdf(Fmax, fname: str = None):
     if not isinstance(Fmax, np.ndarray):
         hist = np.asarray(_pdf_bincount(Fmax))
     else:
-        xF = np.clip((np.asarray(Fmax).ravel() * 10.0).astype(int), 0, 209)
+        # float32 math: the ooc engine hands a float16 grid whose largest
+        # collapse times overflow f16 when scaled (inf -> int is UB and
+        # landed those particles in bin 0 instead of the top bin)
+        xF = np.asarray(Fmax).ravel().astype(np.float32) * 10.0
+        xF = np.clip(np.nan_to_num(xF, nan=0.0, posinf=209.0,
+                                   neginf=0.0).astype(int), 0, 209)
         hist = np.bincount(xF, minlength=210)
     if fname:
         with open(fname, "w") as fd:

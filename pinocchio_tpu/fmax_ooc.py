@@ -218,8 +218,17 @@ class OocEngine:
         tgt = params.ooc_kz_batch or (16 if N >= 256 else self.Nh)
         self.kz_sched = _kz_schedule(self.Nh, tgt)
         self.Bkz = self.kz_sched[0][1]
-        self.Bz = _divisor_batch(N, 16 if N >= 256 else N)
+        self.Bz = params.ooc_z_batch \
+            or _divisor_batch(N, 16 if N >= 256 else N)
+        assert N % self.Bz == 0, "ooc_z_batch must divide GridSize"
         self.Bx = _divisor_batch(N, 32)
+        # batches fused per dispatch (lax.fori_loop inside one jit): the
+        # tunneled worker's per-call cost dominated the first 1024^3
+        # cycle (BENCH_1024.json fmax_loop 1810 s for ~1100 dispatches);
+        # K=4 keeps each program well under the worker's long-program
+        # kill threshold (a 57-iteration build fori crashed it, 4 ran
+        # fine — module docstring)
+        self.group = params.ooc_group if params.ooc_group else 4
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
@@ -502,45 +511,242 @@ class OocEngine:
         blk = jnp.stack([jnp.real(f), jnp.imag(f)]).astype(out.dtype)
         return jax.lax.dynamic_update_slice(out, blk, (0, 0, kz0, 0))
 
+    # ---------------- grouped dispatches -------------------------------
+    # K consecutive batches fused into ONE device program with a
+    # lax.fori_loop over the per-batch body: the tunneled worker's
+    # per-call cost dominated the first 1024^3 cycle (~1100 dispatches,
+    # BENCH_1024.json).  Safe by the r3 measurements (module docstring):
+    # the carried arrays are only WRITTEN (dynamic_update_slice aliases
+    # in place); the arrays dots READ (delta planes, the us stack in
+    # consumers) are fresh-per-iteration or loop-INVARIANT — the
+    # +12 GiB hoist hit only dots reading loop-CARRIED arrays.  K=4
+    # stays far under the worker's long-program kill threshold.
+
+    @partial(jax.jit, static_argnames=("self", "B", "K"),
+             donate_argnums=(1,))
+    def build_hessian_group(self, us, R_grid, kz00, B: int, K: int):
+        body = type(self).build_hessian_batch.__wrapped__
+
+        def step(i, us):
+            return body(self, us, R_grid, kz00 + i * B, B)
+        return jax.lax.fori_loop(0, K, step, us)
+
+    @partial(jax.jit, static_argnames=("self", "source", "B", "K"),
+             donate_argnums=(1,))
+    def build_first_group(self, us, spec, gtab, glo, gdx, kz00,
+                          source: str, B: int, K: int):
+        body = type(self).build_first_batch.__wrapped__
+
+        def step(i, us):
+            return body(self, us, spec, gtab, glo, gdx, kz00 + i * B,
+                        source, B)
+        return jax.lax.fori_loop(0, K, step, us)
+
+    @partial(jax.jit, static_argnames=("self", "B", "K"),
+             donate_argnums=(1, 2))
+    def build_single_group(self, ure, uim, spec, ia, ib, use_density,
+                           fac_one, kz00, B: int, K: int):
+        body = type(self).build_single_batch.__wrapped__
+
+        def step(i, uu):
+            return body(self, uu[0], uu[1], spec, ia, ib, use_density,
+                        fac_one, kz00 + i * B, B)
+        return jax.lax.fori_loop(0, K, step, (ure, uim))
+
+    @partial(jax.jit, static_argnames=("self", "K"),
+             donate_argnums=(2, 3, 4))
+    def cycle_group(self, us, Fmax, s1, s2, pack, z00, K: int):
+        body = type(self).cycle_slab.__wrapped__
+
+        def step(j, carry):
+            return body(self, us, *carry, pack, z00 + j * self.Bz)
+        return jax.lax.fori_loop(0, K, step, (Fmax, s1, s2))
+
+    @partial(jax.jit, static_argnames=("self", "interp", "K"),
+             donate_argnums=(2, 3, 4))
+    def cycle_tab_group(self, us, Fmax, s1, s2, tab, tab2, dv, idx_map,
+                        ampl, z00, interp: str, K: int):
+        body = type(self).cycle_slab_tab.__wrapped__
+
+        def step(j, carry):
+            return body(self, us, *carry, tab, tab2, dv, idx_map, ampl,
+                        z00 + j * self.Bz, interp)
+        return jax.lax.fori_loop(0, K, step, (Fmax, s1, s2))
+
+    @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
+    def q2_group(self, us, q2, z00, K: int):
+        body = type(self).q2_slab.__wrapped__
+
+        def step(j, q2):
+            return body(self, us, q2, z00 + j * self.Bz)
+        return jax.lax.fori_loop(0, K, step, q2)
+
+    @partial(jax.jit, static_argnames=("self", "K"),
+             donate_argnums=(5, 6))
+    def fold_group(self, u1re, u1im, u2re, u2im, wre, wim, first,
+                   weight, z00, K: int):
+        body = type(self).fold_slab.__wrapped__
+
+        def step(j, w):
+            return body(self, u1re, u1im, u2re, u2im, w[0], w[1],
+                        first, weight, z00 + j * self.Bz)
+        return jax.lax.fori_loop(0, K, step, (wre, wim))
+
+    @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
+    def rfftz_group(self, q, out, x00, K: int):
+        body = type(self).rfftz_batch.__wrapped__
+
+        def step(i, out):
+            return body(self, q, out, x00 + i * self.Bx)
+        return jax.lax.fori_loop(0, K, step, out)
+
+    @partial(jax.jit, static_argnames=("self", "B", "K"),
+             donate_argnums=(1,))
+    def fft2_group(self, w, kz00, B: int, K: int):
+        body = type(self).fft2_batch.__wrapped__
+
+        def step(i, w):
+            return body(self, w, kz00 + i * B, B)
+        return jax.lax.fori_loop(0, K, step, w)
+
+    @partial(jax.jit, static_argnames=("self", "B", "K"),
+             donate_argnums=(3,))
+    def fft2_pair_group(self, wre, wim, out, kz00, B: int, K: int):
+        body = type(self).fft2_pair_batch.__wrapped__
+
+        def step(i, out):
+            return body(self, wre, wim, out, kz00 + i * B, B)
+        return jax.lax.fori_loop(0, K, step, out)
+
     # ---------------- python-loop drivers ------------------------------
 
+    def _kz_chunks(self):
+        """(kz0, B, K) chunks: full-size batches grouped K at a time,
+        the remainder batch on its own (at most 3 distinct executables
+        per member: K-group, tail group, remainder)."""
+        full = [s for s in self.kz_sched if s[1] == self.Bkz]
+        out = []
+        i = 0
+        while i < len(full):
+            k = min(self.group, len(full) - i)
+            out.append((full[i][0], self.Bkz, k))
+            i += k
+        for kz0, B in self.kz_sched[len(full):]:
+            out.append((kz0, B, 1))
+        return out
+
+    def _z_chunks(self):
+        nsl = self.N // self.Bz
+        out = []
+        j = 0
+        while j < nsl:
+            k = min(self.group, nsl - j)
+            out.append((j * self.Bz, k))
+            j += k
+        return out
+
     def build_hessian(self, us, R_grid):
-        for kz0, B in self.kz_sched:
-            us = self.build_hessian_batch(us, R_grid, jnp.int32(kz0),
-                                          B=B)
+        for kz0, B, K in self._kz_chunks():
+            if K == 1:
+                us = self.build_hessian_batch(us, R_grid, jnp.int32(kz0),
+                                              B=B)
+            else:
+                us = self.build_hessian_group(us, R_grid, jnp.int32(kz0),
+                                              B=B, K=K)
         return us
 
     def build_first(self, us, spec, g, source):
-        for kz0, B in self.kz_sched:
-            us = self.build_first_batch(us, spec, *g, jnp.int32(kz0),
-                                        source=source, B=B)
+        for kz0, B, K in self._kz_chunks():
+            if K == 1:
+                us = self.build_first_batch(us, spec, *g, jnp.int32(kz0),
+                                            source=source, B=B)
+            else:
+                us = self.build_first_group(us, spec, *g, jnp.int32(kz0),
+                                            source=source, B=B, K=K)
         return us
 
     def build_single(self, ure, uim, spec, ia, ib, use_density,
                      fac_one):
-        for kz0, B in self.kz_sched:
-            ure, uim = self.build_single_batch(
-                ure, uim, spec, jnp.int32(ia), jnp.int32(ib),
-                jnp.bool_(use_density), jnp.bool_(fac_one),
-                jnp.int32(kz0), B=B)
+        args = (jnp.int32(ia), jnp.int32(ib), jnp.bool_(use_density),
+                jnp.bool_(fac_one))
+        for kz0, B, K in self._kz_chunks():
+            if K == 1:
+                ure, uim = self.build_single_batch(
+                    ure, uim, spec, *args, jnp.int32(kz0), B=B)
+            else:
+                ure, uim = self.build_single_group(
+                    ure, uim, spec, *args, jnp.int32(kz0), B=B, K=K)
         return ure, uim
+
+    def cycle_radius(self, us, Fmax, s1, s2, pack):
+        """One radius of the collapse cycle over all z-slabs."""
+        for z0, K in self._z_chunks():
+            if K == 1:
+                Fmax, s1, s2 = self.cycle_slab(us, Fmax, s1, s2, pack,
+                                               jnp.int32(z0))
+            else:
+                Fmax, s1, s2 = self.cycle_group(us, Fmax, s1, s2, pack,
+                                                jnp.int32(z0), K=K)
+        return Fmax, s1, s2
+
+    def cycle_radius_tab(self, us, Fmax, s1, s2, tab, tab2, dv, idx_map,
+                         ampl, interp):
+        for z0, K in self._z_chunks():
+            if K == 1:
+                Fmax, s1, s2 = self.cycle_slab_tab(
+                    us, Fmax, s1, s2, tab, tab2, dv, idx_map, ampl,
+                    jnp.int32(z0), interp=interp)
+            else:
+                Fmax, s1, s2 = self.cycle_tab_group(
+                    us, Fmax, s1, s2, tab, tab2, dv, idx_map, ampl,
+                    jnp.int32(z0), interp=interp, K=K)
+        return Fmax, s1, s2
+
+    def q2_all(self, us, q2):
+        for z0, K in self._z_chunks():
+            q2 = (self.q2_slab(us, q2, jnp.int32(z0)) if K == 1
+                  else self.q2_group(us, q2, jnp.int32(z0), K=K))
+        return q2
+
+    def fold_pair(self, wre, wim, u1re, u1im, u2re, u2im, first, weight):
+        for z0, K in self._z_chunks():
+            if K == 1:
+                wre, wim = self.fold_slab(u1re, u1im, u2re, u2im,
+                                          wre, wim, first, weight,
+                                          jnp.int32(z0))
+            else:
+                wre, wim = self.fold_group(u1re, u1im, u2re, u2im,
+                                           wre, wim, first, weight,
+                                           jnp.int32(z0), K=K)
+        return wre, wim
 
     def to_spec(self, q, out):
         """Dense real field [N, N, N] (z minor, plain arg) -> spectrum
         [2, N, Nh, N] (donated out, store dtype): rfft over z in
         x-batches, then fft2 per kz batch — the staged forward
         counterpart of pass A."""
-        for i in range(self.N // self.Bx):
-            out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
-        for kz0, B in self.kz_sched:
-            out = self.fft2_batch(out, jnp.int32(kz0), B=B)
+        nbx = self.N // self.Bx
+        i = 0
+        while i < nbx:
+            k = min(self.group, nbx - i)
+            if k == 1:
+                out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
+            else:
+                out = self.rfftz_group(q, out, jnp.int32(i * self.Bx),
+                                       K=k)
+            i += k
+        for kz0, B, K in self._kz_chunks():
+            out = (self.fft2_batch(out, jnp.int32(kz0), B=B) if K == 1
+                   else self.fft2_group(out, jnp.int32(kz0), B=B, K=K))
         return out
 
     def pair_to_spec(self, wre, wim, out):
         """Fold accumulators (f32 re/im pair) -> store-dtype spectrum."""
-        for kz0, B in self.kz_sched:
-            out = self.fft2_pair_batch(wre, wim, out, jnp.int32(kz0),
-                                       B=B)
+        for kz0, B, K in self._kz_chunks():
+            out = (self.fft2_pair_batch(wre, wim, out, jnp.int32(kz0),
+                                        B=B) if K == 1
+                   else self.fft2_pair_group(wre, wim, out,
+                                             jnp.int32(kz0), B=B, K=K))
         return out
 
     # ---------------- needed-row gather -------------------------------
@@ -640,15 +846,13 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
             ampl = jnp.float32(ct["ampl"][ism])
         else:
             pack = jnp.asarray(packs[ism])
-        s1, s2 = np.float32(0.0), np.float32(0.0)
-        for j in range(nsl):
-            if tabulated_ct:
-                Fmax, s1, s2 = eng.cycle_slab_tab(
-                    us, Fmax, s1, s2, tab, tab2, ct_dv, ct_idx, ampl,
-                    jnp.int32(j * eng.Bz), interp=params.ct_interp)
-            else:
-                Fmax, s1, s2 = eng.cycle_slab(us, Fmax, s1, s2, pack,
-                                              jnp.int32(j * eng.Bz))
+        s1, s2 = jnp.float32(0.0), jnp.float32(0.0)
+        if tabulated_ct:
+            Fmax, s1, s2 = eng.cycle_radius_tab(
+                us, Fmax, s1, s2, tab, tab2, ct_dv, ct_idx, ampl,
+                params.ct_interp)
+        else:
+            Fmax, s1, s2 = eng.cycle_radius(us, Fmax, s1, s2, pack)
         stats.append((s1, s2))
     for ism, (m1, m2) in enumerate(stats):
         # syncs the cycle; the per-slab loop accumulates SUMS of slab
@@ -672,8 +876,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         # (same shape + dtype) aliases as its storage: the 2LPT phase
         # fits next to the 12-array us stack without a fresh N^3 alloc
         q2, Fmax = Fmax, None
-        for j in range(nsl):
-            q2 = eng.q2_slab(us, q2, jnp.int32(j * eng.Bz))
+        q2 = eng.q2_all(us, q2)
     del Fmax
     q31_parts = []
     if lpt_order >= 3:
@@ -764,12 +967,8 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         u2im = jnp.zeros((N, Nh, N), eng.dtype)
 
         def fold_all(wre, wim, u1re, u1im, u2re, u2im, first, weight):
-            for j in range(nsl):
-                wre, wim = eng.fold_slab(u1re, u1im, u2re, u2im,
-                                         wre, wim, np.bool_(first),
-                                         np.float32(weight),
-                                         jnp.int32(j * eng.Bz))
-            return wre, wim
+            return eng.fold_pair(wre, wim, u1re, u1im, u2re, u2im,
+                                 np.bool_(first), np.float32(weight))
 
         u1re, u1im = eng.build_single(u1re, u1im, q2hat, 0, 0,
                                       True, True)

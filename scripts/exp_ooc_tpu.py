@@ -42,6 +42,7 @@ params.MaxMem = int(os.sysconf("SC_PAGE_SIZE")
                     / max(1, params.subbox_tasks))
 
 outdir = args.outdir or tempfile.mkdtemp(prefix="ooc_")
+os.makedirs(outdir, exist_ok=True)
 best, phases = 1e30, {}
 for i in range(args.passes):
     t0 = time.perf_counter()

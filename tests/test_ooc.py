@@ -126,6 +126,29 @@ def test_ooc_remainder_batches_match(ooc_pair, hmf_validation_params,
                            rtol=1e-4, atol=1e-5), k
 
 
+def test_ooc_grouped_dispatches_match(ooc_pair, hmf_validation_params,
+                                      hmf_validation_cosmology):
+    """Small forced batches (ooc_kz_batch=4, ooc_z_batch=8 at N=32) make
+    every grouped member run its K=4 fori path (build groups, cycle
+    groups, fold groups, spectrum groups): results must equal the
+    single-batch engine's bit-for-bit up to transform round-off."""
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    p, r_ref, _ = ooc_pair
+    pg = dataclasses.replace(p, ooc_kz_batch=4, ooc_z_batch=8,
+                             ooc_group=4)
+    rg = run_fmax_ooc(pg, hmf_validation_cosmology, verbose=False)
+    d = np.abs(np.asarray(rg.products.Fmax)
+               - np.asarray(r_ref.products.Fmax))
+    assert (d > 0.01).mean() < 1e-3
+    assert np.median(d) < 1e-4
+    assert np.allclose(rg.smoothing.true_variance,
+                       r_ref.smoothing.true_variance, rtol=1e-4)
+    for k in r_ref.host_products.vel:
+        assert np.allclose(rg.host_products.vel[k],
+                           r_ref.host_products.vel[k],
+                           rtol=2e-3, atol=2e-3), k
+
+
 def test_ooc_refuses_unsupported(hmf_validation_params,
                                  hmf_validation_cosmology):
     from pinocchio_tpu.fmax_ooc import run_fmax_ooc
