@@ -768,6 +768,33 @@ class OocEngine:
         rows = jnp.stack([c[idx] for c in comps], axis=1)
         return rows.astype(self.fdtype)
 
+    @partial(jax.jit, static_argnames=("self", "K"))
+    def vrows_group(self, us, idx_all, j0, K: int):
+        """K consecutive slabs' needed rows in one dispatch
+        [K, cap, 3] (same bytes on the wire, K x fewer round trips)."""
+        body = type(self).vrows_slab.__wrapped__
+        cap = idx_all.shape[1]
+        acc = jnp.zeros((K, cap, 3), self.fdtype)
+
+        def step(j, acc):
+            rows = body(self, us, idx_all, j0 + j)
+            return jax.lax.dynamic_update_slice(acc, rows[None],
+                                                (j, 0, 0))
+        return jax.lax.fori_loop(0, K, step, acc)
+
+    @partial(jax.jit, static_argnames=("self", "K"))
+    def q31_group(self, us, z00, K: int):
+        """K consecutive 3LPT-a source slabs in one dispatch
+        [N, N, K*Bz] (z minor, ready for the host concatenation)."""
+        N, Bz = self.N, self.Bz
+        body = type(self).q31_slab.__wrapped__
+        acc = jnp.zeros((N, N, K * Bz), self.fdtype)
+
+        def step(j, acc):
+            sl = body(self, us, z00 + j * Bz)
+            return jax.lax.dynamic_update_slice(acc, sl, (0, 0, j * Bz))
+        return jax.lax.fori_loop(0, K, step, acc)
+
 
 # ----------------------------------------------------------------------
 # orchestration
@@ -881,8 +908,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     q31_parts = []
     if lpt_order >= 3:
         futs = []
-        for j in range(nsl):
-            sl = eng.q31_slab(us, jnp.int32(j * eng.Bz))
+        for z0, K in eng._z_chunks():
+            sl = (eng.q31_slab(us, jnp.int32(z0)) if K == 1
+                  else eng.q31_group(us, jnp.int32(z0), K=K))
             futs.append(ex.submit(np.asarray, sl))
             while len([f for f in futs if not f.done()]) > 3:
                 time.sleep(0.005)
@@ -1007,22 +1035,29 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         buf = np.empty((ntot, 3), np.float32)
         vel[key] = buf
 
-        def land(j, fut):
+        def land(j0, K, fut):
             rows = fut.result()
-            n_j = counts[j]
-            buf[offsets[j]:offsets[j] + n_j] = rows[:n_j]
+            for jj in range(K):
+                j = j0 + jj
+                n_j = counts[j]
+                r = rows[jj] if rows.ndim == 3 else rows
+                buf[offsets[j]:offsets[j] + n_j] = r[:n_j]
 
         pend = []
-        for j in range(nsl):
-            rows_dev = eng.vrows_slab(u_v, idx_dev, jnp.int32(j))
+        for z0, K in eng._z_chunks():
+            j0 = z0 // eng.Bz
+            rows_dev = (eng.vrows_slab(u_v, idx_dev, jnp.int32(j0))
+                        if K == 1 else
+                        eng.vrows_group(u_v, idx_dev, jnp.int32(j0),
+                                        K=K))
             fut = ex.submit(np.asarray, rows_dev)
-            pend.append((j, fut))
-            while len([1 for _, f in pend if not f.done()]) > 3:
+            pend.append((j0, K, fut))
+            while len([1 for *_, f in pend if not f.done()]) > 3:
                 time.sleep(0.005)
-            while pend and pend[0][1].done():
+            while pend and pend[0][2].done():
                 land(*pend.pop(0))
-        for j, f in pend:
-            land(j, f)
+        for j0, K, f in pend:
+            land(j0, K, f)
 
     dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
     u_v = eng.zeros_stack(3)

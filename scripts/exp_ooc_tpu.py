@@ -25,6 +25,8 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--grid", type=int, default=256)
 ap.add_argument("--passes", type=int, default=2)
 ap.add_argument("--outdir", default=None)
+ap.add_argument("--group", type=int, default=None,
+                help="ooc batches fused per dispatch (params.ooc_group)")
 args = ap.parse_args()
 
 from pinocchio_tpu.config import read_parameter_file
@@ -36,6 +38,8 @@ params = read_parameter_file(
 params.GridSize = args.grid
 params.BoxSize = float(args.grid)
 params.ooc = "on"
+if args.group:
+    params.ooc_group = args.group
 params.subbox_tasks = os.cpu_count() or 1
 params.MaxMem = int(os.sysconf("SC_PAGE_SIZE")
                     * os.sysconf("SC_PHYS_PAGES") * 0.85 / 1024 ** 2
