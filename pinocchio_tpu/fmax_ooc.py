@@ -512,15 +512,19 @@ class OocEngine:
         return jax.lax.dynamic_update_slice(out, blk, (0, 0, kz0, 0))
 
     # ---------------- grouped dispatches -------------------------------
-    # K consecutive batches fused into ONE device program with a
-    # lax.fori_loop over the per-batch body: the tunneled worker's
-    # per-call cost dominated the first 1024^3 cycle (~1100 dispatches,
-    # BENCH_1024.json).  Safe by the r3 measurements (module docstring):
-    # the carried arrays are only WRITTEN (dynamic_update_slice aliases
-    # in place); the arrays dots READ (delta planes, the us stack in
-    # consumers) are fresh-per-iteration or loop-INVARIANT — the
-    # +12 GiB hoist hit only dots reading loop-CARRIED arrays.  K=4
-    # stays far under the worker's long-program kill threshold.
+    # K consecutive batches fused into ONE device program: the tunneled
+    # worker's per-call cost dominated the first 1024^3 cycle (~1100
+    # dispatches, BENCH_1024.json; grouping measured 3.2x on the 512^3
+    # e2e).  BUILDERS use a lax.fori_loop — their carried stacks are
+    # only WRITTEN (dynamic_update_slice aliases in place) and their
+    # dots read fresh-per-iteration operands.  CONSUMERS must NOT use a
+    # device loop: a dot reading the big stack from inside while-loop
+    # context makes XLA materialize a FULL COPY (+12.45 GiB measured at
+    # 1024^3 in cycle_group's compile — the r3 hoist, which hits
+    # loop-INVARIANT reads too), so consumer groups UNROLL the K
+    # iterations into straight-line XLA where reads alias like the
+    # per-batch programs.  K=4 stays far under the worker's
+    # long-program kill threshold either way.
 
     @partial(jax.jit, static_argnames=("self", "B", "K"),
              donate_argnums=(1,))
@@ -557,66 +561,60 @@ class OocEngine:
              donate_argnums=(2, 3, 4))
     def cycle_group(self, us, Fmax, s1, s2, pack, z00, K: int):
         body = type(self).cycle_slab.__wrapped__
-
-        def step(j, carry):
-            return body(self, us, *carry, pack, z00 + j * self.Bz)
-        return jax.lax.fori_loop(0, K, step, (Fmax, s1, s2))
+        for j in range(K):                 # UNROLLED: us dot-reads alias
+            Fmax, s1, s2 = body(self, us, Fmax, s1, s2, pack,
+                                z00 + j * self.Bz)
+        return Fmax, s1, s2
 
     @partial(jax.jit, static_argnames=("self", "interp", "K"),
              donate_argnums=(2, 3, 4))
     def cycle_tab_group(self, us, Fmax, s1, s2, tab, tab2, dv, idx_map,
                         ampl, z00, interp: str, K: int):
         body = type(self).cycle_slab_tab.__wrapped__
-
-        def step(j, carry):
-            return body(self, us, *carry, tab, tab2, dv, idx_map, ampl,
-                        z00 + j * self.Bz, interp)
-        return jax.lax.fori_loop(0, K, step, (Fmax, s1, s2))
+        for j in range(K):
+            Fmax, s1, s2 = body(self, us, Fmax, s1, s2, tab, tab2, dv,
+                                idx_map, ampl, z00 + j * self.Bz, interp)
+        return Fmax, s1, s2
 
     @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
     def q2_group(self, us, q2, z00, K: int):
         body = type(self).q2_slab.__wrapped__
-
-        def step(j, q2):
-            return body(self, us, q2, z00 + j * self.Bz)
-        return jax.lax.fori_loop(0, K, step, q2)
+        for j in range(K):
+            q2 = body(self, us, q2, z00 + j * self.Bz)
+        return q2
 
     @partial(jax.jit, static_argnames=("self", "K"),
              donate_argnums=(5, 6))
     def fold_group(self, u1re, u1im, u2re, u2im, wre, wim, first,
                    weight, z00, K: int):
         body = type(self).fold_slab.__wrapped__
-
-        def step(j, w):
-            return body(self, u1re, u1im, u2re, u2im, w[0], w[1],
-                        first, weight, z00 + j * self.Bz)
-        return jax.lax.fori_loop(0, K, step, (wre, wim))
+        for j in range(K):
+            wre, wim = body(self, u1re, u1im, u2re, u2im, wre, wim,
+                            first, weight, z00 + j * self.Bz)
+        return wre, wim
 
     @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
     def rfftz_group(self, q, out, x00, K: int):
         body = type(self).rfftz_batch.__wrapped__
-
-        def step(i, out):
-            return body(self, q, out, x00 + i * self.Bx)
-        return jax.lax.fori_loop(0, K, step, out)
+        for i in range(K):
+            out = body(self, q, out, x00 + i * self.Bx)
+        return out
 
     @partial(jax.jit, static_argnames=("self", "B", "K"),
              donate_argnums=(1,))
     def fft2_group(self, w, kz00, B: int, K: int):
         body = type(self).fft2_batch.__wrapped__
-
-        def step(i, w):
-            return body(self, w, kz00 + i * B, B)
-        return jax.lax.fori_loop(0, K, step, w)
+        for i in range(K):
+            w = body(self, w, kz00 + i * B, B)
+        return w
 
     @partial(jax.jit, static_argnames=("self", "B", "K"),
              donate_argnums=(3,))
     def fft2_pair_group(self, wre, wim, out, kz00, B: int, K: int):
         body = type(self).fft2_pair_batch.__wrapped__
-
-        def step(i, out):
-            return body(self, wre, wim, out, kz00 + i * B, B)
-        return jax.lax.fori_loop(0, K, step, out)
+        for i in range(K):
+            out = body(self, wre, wim, out, kz00 + i * B, B)
+        return out
 
     # ---------------- python-loop drivers ------------------------------
 
@@ -773,27 +771,16 @@ class OocEngine:
         """K consecutive slabs' needed rows in one dispatch
         [K, cap, 3] (same bytes on the wire, K x fewer round trips)."""
         body = type(self).vrows_slab.__wrapped__
-        cap = idx_all.shape[1]
-        acc = jnp.zeros((K, cap, 3), self.fdtype)
-
-        def step(j, acc):
-            rows = body(self, us, idx_all, j0 + j)
-            return jax.lax.dynamic_update_slice(acc, rows[None],
-                                                (j, 0, 0))
-        return jax.lax.fori_loop(0, K, step, acc)
+        return jnp.stack([body(self, us, idx_all, j0 + j)
+                          for j in range(K)])
 
     @partial(jax.jit, static_argnames=("self", "K"))
     def q31_group(self, us, z00, K: int):
         """K consecutive 3LPT-a source slabs in one dispatch
         [N, N, K*Bz] (z minor, ready for the host concatenation)."""
-        N, Bz = self.N, self.Bz
         body = type(self).q31_slab.__wrapped__
-        acc = jnp.zeros((N, N, K * Bz), self.fdtype)
-
-        def step(j, acc):
-            sl = body(self, us, z00 + j * Bz)
-            return jax.lax.dynamic_update_slice(acc, sl, (0, 0, j * Bz))
-        return jax.lax.fori_loop(0, K, step, acc)
+        return jnp.concatenate([body(self, us, z00 + j * self.Bz)
+                                for j in range(K)], axis=2)
 
 
 # ----------------------------------------------------------------------
