@@ -91,6 +91,20 @@ def _divisor_batch(n: int, target: int) -> int:
     return best
 
 
+def _seq(invariant: tuple, carry: tuple, j: int, K: int):
+    """Order unrolled consumer sections strictly: thread the invariant
+    reads AND the carry through one optimization_barrier so section
+    j+1's stack reads depend on section j's completion — without it XLA
+    co-schedules the sections' [Bz, N, N] f32 temps and the 1024^3
+    cycle_group peak overshot HBM by ~0.6 GB (measured).  No-op after
+    the last section."""
+    if j >= K - 1:
+        return invariant, carry
+    nc = len(carry)
+    out = jax.lax.optimization_barrier(tuple(invariant) + tuple(carry))
+    return tuple(out[:-nc]), tuple(out[-nc:])
+
+
 def _kz_schedule(n: int, target: int):
     """Disjoint (kz0, B) batches covering [0, n): full batches of size
     min(target, n) plus one REMAINDER batch.  Nh = N/2 + 1 is prime for
@@ -564,6 +578,7 @@ class OocEngine:
         for j in range(K):                 # UNROLLED: us dot-reads alias
             Fmax, s1, s2 = body(self, us, Fmax, s1, s2, pack,
                                 z00 + j * self.Bz)
+            us, (Fmax, s1, s2) = _seq(us, (Fmax, s1, s2), j, K)
         return Fmax, s1, s2
 
     @partial(jax.jit, static_argnames=("self", "interp", "K"),
@@ -574,6 +589,7 @@ class OocEngine:
         for j in range(K):
             Fmax, s1, s2 = body(self, us, Fmax, s1, s2, tab, tab2, dv,
                                 idx_map, ampl, z00 + j * self.Bz, interp)
+            us, (Fmax, s1, s2) = _seq(us, (Fmax, s1, s2), j, K)
         return Fmax, s1, s2
 
     @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
@@ -581,6 +597,7 @@ class OocEngine:
         body = type(self).q2_slab.__wrapped__
         for j in range(K):
             q2 = body(self, us, q2, z00 + j * self.Bz)
+            us, (q2,) = _seq(us, (q2,), j, K)
         return q2
 
     @partial(jax.jit, static_argnames=("self", "K"),
@@ -588,9 +605,11 @@ class OocEngine:
     def fold_group(self, u1re, u1im, u2re, u2im, wre, wim, first,
                    weight, z00, K: int):
         body = type(self).fold_slab.__wrapped__
+        uu = (u1re, u1im, u2re, u2im)
         for j in range(K):
-            wre, wim = body(self, u1re, u1im, u2re, u2im, wre, wim,
-                            first, weight, z00 + j * self.Bz)
+            wre, wim = body(self, *uu, wre, wim, first, weight,
+                            z00 + j * self.Bz)
+            uu, (wre, wim) = _seq(uu, (wre, wim), j, K)
         return wre, wim
 
     @partial(jax.jit, static_argnames=("self", "K"), donate_argnums=(2,))
@@ -771,16 +790,22 @@ class OocEngine:
         """K consecutive slabs' needed rows in one dispatch
         [K, cap, 3] (same bytes on the wire, K x fewer round trips)."""
         body = type(self).vrows_slab.__wrapped__
-        return jnp.stack([body(self, us, idx_all, j0 + j)
-                          for j in range(K)])
+        rows = []
+        for j in range(K):
+            rows.append(body(self, us, idx_all, j0 + j))
+            us, (rows[-1],) = _seq(us, (rows[-1],), j, K)
+        return jnp.stack(rows)
 
     @partial(jax.jit, static_argnames=("self", "K"))
     def q31_group(self, us, z00, K: int):
         """K consecutive 3LPT-a source slabs in one dispatch
         [N, N, K*Bz] (z minor, ready for the host concatenation)."""
         body = type(self).q31_slab.__wrapped__
-        return jnp.concatenate([body(self, us, z00 + j * self.Bz)
-                                for j in range(K)], axis=2)
+        slabs = []
+        for j in range(K):
+            slabs.append(body(self, us, z00 + j * self.Bz))
+            us, (slabs[-1],) = _seq(us, (slabs[-1],), j, K)
+        return jnp.concatenate(slabs, axis=2)
 
 
 # ----------------------------------------------------------------------
