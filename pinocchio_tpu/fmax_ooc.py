@@ -379,7 +379,11 @@ class OocEngine:
         moment accumulators (all donated) updated in place; us is read
         as plain arguments (module docstring).
         Rmax is not tracked — nothing in the catalog pipeline reads it
-        (the sweep never does; fmax.py fetch_products_host docstring)."""
+        (the sweep never does; fmax.py fetch_products_host docstring).
+        Fmax is stored Z-MAJOR [N(z), N(x), N(y)]: the slab update is a
+        contiguous leading-axis block with NO transpose, so XLA keeps
+        the native layout (a transposed [N, N, Bz] update made the
+        grouped 1024^3 program relayout-copy the whole 2 GB grid)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
         sd = _consume6(us, C, S, self.prec)
@@ -391,11 +395,9 @@ class OocEngine:
         F = jnp.where(bc > 0.0,
                       jnp.exp2(-3.321928094887362 * loga), 0.0)
         F = jnp.where(fail, -10.0, F)
-        # [Bz, N, N] -> Fmax slab layout [N, N, Bz] (z minor)
-        Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
-        Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
-        Fsl = jnp.maximum(Fsl, Fnew)
-        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
+        Fsl = jax.lax.dynamic_slice(Fmax, (z0, 0, 0), (Bz, N, N))
+        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype))
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (z0, 0, 0))
         m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
         m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
         return Fmax, s1 + m1, s2 + m2
@@ -417,10 +419,9 @@ class OocEngine:
         F = tabulated.interp_F(interp, tab, tab2, dv, idx_map, ampl,
                                l1, l2, l3)
         F = jnp.where(fail, -10.0, F)
-        Fsl = jax.lax.dynamic_slice(Fmax, (0, 0, z0), (N, N, Bz))
-        Fnew = jnp.transpose(F, (1, 2, 0)).astype(self.fdtype)
-        Fsl = jnp.maximum(Fsl, Fnew)
-        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (0, 0, z0))
+        Fsl = jax.lax.dynamic_slice(Fmax, (z0, 0, 0), (Bz, N, N))
+        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype))
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (z0, 0, 0))
         m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
         m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
         return Fmax, s1 + m1, s2 + m2
@@ -428,10 +429,11 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
     def q2_slab(self, us, q2, z0):
         """ONE z-slab of the 2LPT source from the R=0 Hessian stack us,
-        written DENSE on device [N, N, N] in the WIRE dtype (fdtype), z
-        minor (LPT.c:70-76).  The caller donates the retired Fmax buffer
-        as q2's storage — same shape + dtype, so it aliases and the 2LPT
-        phase allocates NOTHING (module ledger)."""
+        written DENSE on device [N, N, N] in the WIRE dtype (fdtype),
+        Z-MAJOR like Fmax (contiguous leading-axis slab updates, no
+        transpose/relayout; LPT.c:70-76).  The caller donates the
+        retired Fmax buffer as q2's storage — same shape + dtype, so it
+        aliases and the 2LPT phase allocates NOTHING (module ledger)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
         sd = _consume6(us, C, S, self.prec)
@@ -439,8 +441,7 @@ class OocEngine:
         src2 = (xx * yy + xx * zz + yy * zz
                 - xy * xy - xz * xz - yz * yz)
         return jax.lax.dynamic_update_slice(
-            q2, jnp.transpose(src2, (1, 2, 0)).astype(self.fdtype),
-            (0, 0, z0))
+            q2, src2.astype(self.fdtype), (z0, 0, 0))
 
     @partial(jax.jit, static_argnames=("self",))
     def q31_slab(self, us, z0):
@@ -455,8 +456,8 @@ class OocEngine:
         src31 = 3.0 * (xx * (yy * zz - yz * yz)
                        - xy * (xy * zz - xz * yz)
                        + xz * (xy * yz - xz * yy))
-        # [Bz, N, N] -> [N, N, Bz]: host concatenates along z (minor)
-        return jnp.transpose(src31, (1, 2, 0)).astype(self.fdtype)
+        # [Bz, N, N] z-major: the host concatenates along axis 0
+        return src31.astype(self.fdtype)
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(5, 6))
     def fold_slab(self, u1re, u1im, u2re, u2im, wre, wim,
@@ -489,14 +490,15 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
     def rfftz_batch(self, q, out, x0):
         """ONE x batch of the forward z-transform of a dense real field
-        q [N, N, N] (z minor, plain arg) into the spectrum layout out
-        [2, N, Nh, N] (donated): MXU matmul against the rfft bases."""
+        q [N(z), N(x), N(y)] (Z-MAJOR, plain arg) into the spectrum
+        layout out [2, N, Nh, N] (donated): MXU matmul against the rfft
+        bases."""
         N, Nh, Bx = self.N, self.Nh, self.Bx
-        sl = jax.lax.dynamic_slice(q, (x0, 0, 0),
-                                   (Bx, N, N)).astype(jnp.float32)
+        sl = jax.lax.dynamic_slice(q, (0, x0, 0),
+                                   (N, Bx, N)).astype(jnp.float32)
         Cf, Sf = _rfftz_mats(N)                   # [N(z), Nh]
-        wre = jnp.einsum("xyz,zk->xky", sl, Cf, precision=_PREC)
-        wim = jnp.einsum("xyz,zk->xky", sl, Sf, precision=_PREC)
+        wre = jnp.einsum("zxy,zk->xky", sl, Cf, precision=_PREC)
+        wim = jnp.einsum("zxy,zk->xky", sl, Sf, precision=_PREC)
         blk = jnp.stack([wre, wim]).astype(out.dtype)  # [2, Bx, Nh, N]
         return jax.lax.dynamic_update_slice(out, blk, (0, x0, 0, 0))
 
@@ -799,13 +801,13 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self", "K"))
     def q31_group(self, us, z00, K: int):
         """K consecutive 3LPT-a source slabs in one dispatch
-        [N, N, K*Bz] (z minor, ready for the host concatenation)."""
+        [K*Bz, N, N] (z-major, ready for the host concatenation)."""
         body = type(self).q31_slab.__wrapped__
         slabs = []
         for j in range(K):
             slabs.append(body(self, us, z00 + j * self.Bz))
             us, (slabs[-1],) = _seq(us, (slabs[-1],), j, K)
-        return jnp.concatenate(slabs, axis=2)
+        return jnp.concatenate(slabs, axis=0)
 
 
 # ----------------------------------------------------------------------
@@ -931,7 +933,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     timings["sources"] = time.perf_counter() - t0
 
     # host-side needed-cell prep (overlaps the device v-phases below
-    # only through the transfer threads; numpy here is the 2-vCPU host)
+    # only through the transfer threads; numpy here is the 2-vCPU host).
+    # F_host is Z-MAJOR [z, x, y], so every slab is a contiguous block —
+    # no transposed copies (they cost ~2 extra grid passes at 1024^3)
     t0 = time.perf_counter()
     flast = np.asarray(params.Flast, F_host.dtype)
     mask3 = F_host >= flast
@@ -939,19 +943,15 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     loc_idx, ci_parts, f_parts, counts = [], [], [], []
     for j in range(nsl):
         z0 = j * Bz
-        msl = np.ascontiguousarray(
-            np.transpose(mask3[:, :, z0:z0 + Bz], (2, 0, 1)))
-        li = np.flatnonzero(msl.ravel()).astype(np.int32)
+        li = np.flatnonzero(mask3[z0:z0 + Bz].ravel()).astype(np.int32)
         loc_idx.append(li)
         counts.append(len(li))
         li64 = li.astype(np.int64)
         b, rem = np.divmod(li64, N * N)
         x, y = np.divmod(rem, N)
         ci_parts.append((x * N + y) * N + (z0 + b))
-        fsl = np.ascontiguousarray(
-            np.transpose(F_host[:, :, z0:z0 + Bz], (2, 0, 1)))
-        f_parts.append(fsl.ravel()[li].astype(np.float32))
-        del msl, fsl
+        f_parts.append(F_host[z0:z0 + Bz].reshape(-1)[li]
+                       .astype(np.float32))
     del mask3
     ci_all = np.concatenate(ci_parts)
     F_all = np.concatenate(f_parts)
@@ -1031,7 +1031,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     q31hat = None
     if lpt_order >= 3:
         # 3LPT-a: det source round-trips via the host
-        q31h = np.concatenate(q31_parts, axis=2)
+        q31h = np.concatenate(q31_parts, axis=0)   # z-major [z, x, y]
         del q31_parts
         q31d = jax.device_put(q31h)
         del q31h
@@ -1097,6 +1097,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     timings["lpt"] = time.perf_counter() - t0
 
     sp = SparseProducts(N=N, ci=ci_all, F=F_all, vel=vel, sorted_by="ci")
-    products = Products(Fmax=F_host, Rmax=None, vel={})
+    # consumers expect the monolithic [x, y, z] orientation; the
+    # transpose is a zero-copy view of the z-major store
+    products = Products(Fmax=F_host.transpose(1, 2, 0), Rmax=None,
+                        vel={})
     return FmaxResult(products=products, smoothing=sm, grid=eng.grid,
                       kdensity=None, host_products=sp, timings=timings)

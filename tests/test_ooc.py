@@ -256,8 +256,9 @@ def test_ooc_cycle_slab_tab_matches_update_table(hmf_validation_params,
         Fm, _, _, _ = collapse.collapse_update_table(
             sd, F0, R0, jnp.int32(0), tab, dv, idx_map, ampl,
             ct_tab2=tab2, interp=interp)
-        assert np.allclose(np.asarray(Fmax), np.asarray(Fm),
-                           atol=2e-3), interp
+        # the ooc Fmax store is z-major [z, x, y]
+        assert np.allclose(np.asarray(Fmax).transpose(1, 2, 0),
+                           np.asarray(Fm), atol=2e-3), interp
 
 
 def test_ooc_scaledep_matches_monolithic(hmf_validation_params):
