@@ -380,10 +380,11 @@ class OocEngine:
         as plain arguments (module docstring).
         Rmax is not tracked — nothing in the catalog pipeline reads it
         (the sweep never does; fmax.py fetch_products_host docstring).
-        Fmax is stored Z-MAJOR [N(z), N(x), N(y)]: the slab update is a
-        contiguous leading-axis block with NO transpose, so XLA keeps
-        the native layout (a transposed [N, N, Bz] update made the
-        grouped 1024^3 program relayout-copy the whole 2 GB grid)."""
+        Fmax is stored as SLAB ROWS [nsl, Bz*N*N] (z-major when
+        reshaped): a contiguous row update leaves XLA no layout freedom
+        — both a transposed [N, N, Bz] update and a 3-D z-major block
+        update made the grouped 1024^3 program relayout-copy the whole
+        2 GB grid (+0.6 GB over HBM, measured twice)."""
         N, Bz = self.N, self.Bz
         C, S = _zbases(N, z0, Bz, self.dtype)
         sd = _consume6(us, C, S, self.prec)
@@ -395,9 +396,11 @@ class OocEngine:
         F = jnp.where(bc > 0.0,
                       jnp.exp2(-3.321928094887362 * loga), 0.0)
         F = jnp.where(fail, -10.0, F)
-        Fsl = jax.lax.dynamic_slice(Fmax, (z0, 0, 0), (Bz, N, N))
-        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype))
-        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (z0, 0, 0))
+        row = (z0 // Bz).astype(jnp.int32) if hasattr(z0, "astype") \
+            else jnp.int32(z0 // Bz)
+        Fsl = jax.lax.dynamic_slice(Fmax, (row, 0), (1, Bz * N * N))
+        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype).reshape(1, -1))
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (row, 0))
         m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
         m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
         return Fmax, s1 + m1, s2 + m2
@@ -419,9 +422,11 @@ class OocEngine:
         F = tabulated.interp_F(interp, tab, tab2, dv, idx_map, ampl,
                                l1, l2, l3)
         F = jnp.where(fail, -10.0, F)
-        Fsl = jax.lax.dynamic_slice(Fmax, (z0, 0, 0), (Bz, N, N))
-        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype))
-        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (z0, 0, 0))
+        row = jnp.int32(z0 // Bz) if not hasattr(z0, "astype") \
+            else (z0 // Bz).astype(jnp.int32)
+        Fsl = jax.lax.dynamic_slice(Fmax, (row, 0), (1, Bz * N * N))
+        Fsl = jnp.maximum(Fsl, F.astype(self.fdtype).reshape(1, -1))
+        Fmax = jax.lax.dynamic_update_slice(Fmax, Fsl, (row, 0))
         m1 = jnp.mean(jnp.mean(jnp.mean(delta, -1), -1))
         m2 = jnp.mean(jnp.mean(jnp.mean(delta * delta, -1), -1))
         return Fmax, s1 + m1, s2 + m2
@@ -440,8 +445,10 @@ class OocEngine:
         xx, yy, zz, xy, xz, yz = sd
         src2 = (xx * yy + xx * zz + yy * zz
                 - xy * xy - xz * xz - yz * yz)
+        row = jnp.int32(z0 // Bz) if not hasattr(z0, "astype") \
+            else (z0 // Bz).astype(jnp.int32)
         return jax.lax.dynamic_update_slice(
-            q2, src2.astype(self.fdtype), (z0, 0, 0))
+            q2, src2.astype(self.fdtype).reshape(1, -1), (row, 0))
 
     @partial(jax.jit, static_argnames=("self",))
     def q31_slab(self, us, z0):
@@ -490,11 +497,12 @@ class OocEngine:
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(2,))
     def rfftz_batch(self, q, out, x0):
         """ONE x batch of the forward z-transform of a dense real field
-        q [N(z), N(x), N(y)] (Z-MAJOR, plain arg) into the spectrum
-        layout out [2, N, Nh, N] (donated): MXU matmul against the rfft
-        bases."""
+        q (slab rows [nsl, Bz*N*N] or z-major [N, N, N]; plain arg)
+        into the spectrum layout out [2, N, Nh, N] (donated): MXU
+        matmul against the rfft bases."""
         N, Nh, Bx = self.N, self.Nh, self.Bx
-        sl = jax.lax.dynamic_slice(q, (0, x0, 0),
+        q3 = jnp.reshape(q, (N, N, N))            # z-major view
+        sl = jax.lax.dynamic_slice(q3, (0, x0, 0),
                                    (N, Bx, N)).astype(jnp.float32)
         Cf, Sf = _rfftz_mats(N)                   # [N(z), Nh]
         wre = jnp.einsum("zxy,zk->xky", sl, Cf, precision=_PREC)
@@ -876,7 +884,8 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     else:
         packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
     us = eng.zeros_stack(6)
-    Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
+    # slab-row store [nsl, Bz*N*N] (cycle_slab docstring)
+    Fmax = jnp.full((N // eng.Bz, eng.Bz * N * N), -10.0, eng.fdtype)
     nsl = N // eng.Bz
     stats = []
     for ism in range(sm.n):
@@ -909,7 +918,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
 
     # ---- Fmax to host, then its buffer becomes q2 -------------------
     t0 = time.perf_counter()
-    F_host = np.asarray(Fmax)    # must COMPLETE before q2 overwrites it
+    # z-major [z, x, y] view of the slab rows; must COMPLETE before q2
+    # overwrites the device buffer
+    F_host = np.asarray(Fmax).reshape(N, N, N)
     lpt_order = params.lpt_order
     q2 = None
     if lpt_order >= 2:

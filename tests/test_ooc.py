@@ -235,7 +235,8 @@ def test_ooc_cycle_slab_tab_matches_update_table(hmf_validation_params,
     us = eng.zeros_stack(6)
     us = eng.build_hessian(us, jnp.float32(1.5))
     for interp in ("trilinear", "bicubic"):
-        Fmax = jnp.full((N, N, N), -10.0, eng.fdtype)
+        Fmax = jnp.full((N // eng.Bz, eng.Bz * N * N), -10.0,
+                        eng.fdtype)
         s1 = s2 = np.float32(0.0)
         for j in range(N // eng.Bz):
             Fmax, s1, s2 = eng.cycle_slab_tab(
@@ -256,9 +257,9 @@ def test_ooc_cycle_slab_tab_matches_update_table(hmf_validation_params,
         Fm, _, _, _ = collapse.collapse_update_table(
             sd, F0, R0, jnp.int32(0), tab, dv, idx_map, ampl,
             ct_tab2=tab2, interp=interp)
-        # the ooc Fmax store is z-major [z, x, y]
-        assert np.allclose(np.asarray(Fmax).transpose(1, 2, 0),
-                           np.asarray(Fm), atol=2e-3), interp
+        # the ooc Fmax store is slab rows = z-major [z, x, y]
+        got = np.asarray(Fmax).reshape(N, N, N).transpose(1, 2, 0)
+        assert np.allclose(got, np.asarray(Fm), atol=2e-3), interp
 
 
 def test_ooc_scaledep_matches_monolithic(hmf_validation_params):
