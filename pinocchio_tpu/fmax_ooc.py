@@ -1066,15 +1066,16 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                 r = rows[jj] if rows.ndim == 3 else rows
                 buf[offsets[j]:offsets[j] + n_j] = r[:n_j]
 
+        # per-slab dispatches on purpose: the stream is LINK-bound, and
+        # grouped [K, cap, 3] buffers (4 in flight) pushed the v-stream
+        # phase peak (u_v + 3 spectra + idx ~ 15.05 GB) past HBM at
+        # 1024^3 (measured ResourceExhausted); per-slab keeps the
+        # proven ~0.25 GB of in-flight buffers
         pend = []
-        for z0, K in eng._z_chunks():
-            j0 = z0 // eng.Bz
-            rows_dev = (eng.vrows_slab(u_v, idx_dev, jnp.int32(j0))
-                        if K == 1 else
-                        eng.vrows_group(u_v, idx_dev, jnp.int32(j0),
-                                        K=K))
+        for j0 in range(nsl):
+            rows_dev = eng.vrows_slab(u_v, idx_dev, jnp.int32(j0))
             fut = ex.submit(np.asarray, rows_dev)
-            pend.append((j0, K, fut))
+            pend.append((j0, 1, fut))
             while len([1 for *_, f in pend if not f.done()]) > 3:
                 time.sleep(0.005)
             while pend and pend[0][2].done():
