@@ -243,6 +243,15 @@ class OocEngine:
         # kill threshold (a 57-iteration build fori crashed it, 4 ran
         # fine — module docstring)
         self.group = params.ooc_group if params.ooc_group else 4
+        # post-cycle phases run at the ledger's edge at N >= 1024
+        # (v-streams ~15.05 GB of 15.75): with the backend's LAZY frees,
+        # the grouped LPT members' larger transients (and the spec-read
+        # hoist risk inside build_first's fori) tipped the stream phase
+        # into ResourceExhausted (measured twice) — so beyond-HBM grids
+        # group ONLY the collapse cycle (proven end-to-end at 1024^3)
+        # and keep every post-cycle member per-batch (the shape of the
+        # recorded 5504 s run)
+        self.group_lpt = self.group if N < 1024 else 1
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
@@ -647,27 +656,29 @@ class OocEngine:
 
     # ---------------- python-loop drivers ------------------------------
 
-    def _kz_chunks(self):
+    def _kz_chunks(self, group=None):
         """(kz0, B, K) chunks: full-size batches grouped K at a time,
         the remainder batch on its own (at most 3 distinct executables
         per member: K-group, tail group, remainder)."""
+        g = self.group if group is None else group
         full = [s for s in self.kz_sched if s[1] == self.Bkz]
         out = []
         i = 0
         while i < len(full):
-            k = min(self.group, len(full) - i)
+            k = min(g, len(full) - i)
             out.append((full[i][0], self.Bkz, k))
             i += k
         for kz0, B in self.kz_sched[len(full):]:
             out.append((kz0, B, 1))
         return out
 
-    def _z_chunks(self):
+    def _z_chunks(self, group=None):
+        g = self.group if group is None else group
         nsl = self.N // self.Bz
         out = []
         j = 0
         while j < nsl:
-            k = min(self.group, nsl - j)
+            k = min(g, nsl - j)
             out.append((j * self.Bz, k))
             j += k
         return out
@@ -683,7 +694,7 @@ class OocEngine:
         return us
 
     def build_first(self, us, spec, g, source):
-        for kz0, B, K in self._kz_chunks():
+        for kz0, B, K in self._kz_chunks(self.group_lpt):
             if K == 1:
                 us = self.build_first_batch(us, spec, *g, jnp.int32(kz0),
                                             source=source, B=B)
@@ -696,7 +707,7 @@ class OocEngine:
                      fac_one):
         args = (jnp.int32(ia), jnp.int32(ib), jnp.bool_(use_density),
                 jnp.bool_(fac_one))
-        for kz0, B, K in self._kz_chunks():
+        for kz0, B, K in self._kz_chunks(self.group_lpt):
             if K == 1:
                 ure, uim = self.build_single_batch(
                     ure, uim, spec, *args, jnp.int32(kz0), B=B)
@@ -730,13 +741,13 @@ class OocEngine:
         return Fmax, s1, s2
 
     def q2_all(self, us, q2):
-        for z0, K in self._z_chunks():
+        for z0, K in self._z_chunks(self.group_lpt):
             q2 = (self.q2_slab(us, q2, jnp.int32(z0)) if K == 1
                   else self.q2_group(us, q2, jnp.int32(z0), K=K))
         return q2
 
     def fold_pair(self, wre, wim, u1re, u1im, u2re, u2im, first, weight):
-        for z0, K in self._z_chunks():
+        for z0, K in self._z_chunks(self.group_lpt):
             if K == 1:
                 wre, wim = self.fold_slab(u1re, u1im, u2re, u2im,
                                           wre, wim, first, weight,
@@ -755,21 +766,21 @@ class OocEngine:
         nbx = self.N // self.Bx
         i = 0
         while i < nbx:
-            k = min(self.group, nbx - i)
+            k = min(self.group_lpt, nbx - i)
             if k == 1:
                 out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
             else:
                 out = self.rfftz_group(q, out, jnp.int32(i * self.Bx),
                                        K=k)
             i += k
-        for kz0, B, K in self._kz_chunks():
+        for kz0, B, K in self._kz_chunks(self.group_lpt):
             out = (self.fft2_batch(out, jnp.int32(kz0), B=B) if K == 1
                    else self.fft2_group(out, jnp.int32(kz0), B=B, K=K))
         return out
 
     def pair_to_spec(self, wre, wim, out):
         """Fold accumulators (f32 re/im pair) -> store-dtype spectrum."""
-        for kz0, B, K in self._kz_chunks():
+        for kz0, B, K in self._kz_chunks(self.group_lpt):
             out = (self.fft2_pair_batch(wre, wim, out, jnp.int32(kz0),
                                         B=B) if K == 1
                    else self.fft2_pair_group(wre, wim, out,
@@ -933,7 +944,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     q31_parts = []
     if lpt_order >= 3:
         futs = []
-        for z0, K in eng._z_chunks():
+        for z0, K in eng._z_chunks(eng.group_lpt):
             sl = (eng.q31_slab(us, jnp.int32(z0)) if K == 1
                   else eng.q31_group(us, jnp.int32(z0), K=K))
             futs.append(ex.submit(np.asarray, sl))
