@@ -16,16 +16,26 @@ kz-plane by kz-plane with delta REGENERATED on the fly —
 ic.kdensity_plane_fn, no resident delta) and real space is recovered per
 z-slab as two MXU matmuls against cos/sin bases (backend.py zmm).
 
-EVERY device program here is a SHORT per-batch top-level jit call driven
-by a Python loop — no monolithic fori programs, and no XLA FFTs on the
-hot path.  Three facts measured on the tunneled v5e force that shape:
+Every device program here is a SHORT per-batch body driven by a Python
+loop, with K=4 consecutive batches FUSED per dispatch where memory
+allows (the group members; 512^3 e2e measured 3.2x from the fusion
+alone) — no monolithic fori programs, and no XLA FFTs on the hot path.
+Facts measured on the tunneled v5e force that shape:
+  * the worker's per-dispatch cost (~2.7 s for calls carrying many
+    donated N^3 operands) dominates un-fused runs (1024^3 cycle:
+    1810 s for ~1100 dispatches);
   * the worker KILLS long-running single programs (a 57-iteration build
     fori, ~70 s of device time, crashes it; 4 iterations run fine);
-  * a dot that reads a loop-CARRIED array makes XLA hoist a FULL COPY of
-    the stack out of the while loop (+12.19 GiB at 1024^3 — instant
-    OOM), while plain-argument dot reads in a top-level jit are free,
-    and slicing a monolithic [6, 2, N, Nh, N] stack materializes ~2 GiB
-    temps per component (hence flat tuples of whole [N, Nh, N] arrays);
+  * a dot that reads the big stack from inside while-loop context makes
+    XLA hoist a FULL COPY (+12.45 GiB at 1024^3, loop-INVARIANT reads
+    included) — so builder groups use fori (carried stacks are only
+    WRITTEN, which aliases) while consumer groups UNROLL their K
+    sections with an optimization_barrier between them, and the dense
+    stores are 2-D slab rows [nsl, Bz*N*N] (a 3-D slab max-update made
+    XLA relayout-copy the 2 GB Fmax grid);
+  * at the ledger's edge (post-cycle phases at N >= 1024, ~15.05 of
+    15.75 GB) even the grouped members' larger transients tip lazy-free
+    HBM over — those grids group only the cycle (self.group_lpt);
   * MXU matmul DFTs at precision HIGH beat XLA's c64 FFT by >10x on
     these shapes (ops/derivatives._second_derivatives_mm measured 3.1x
     at 512^3 where the FFT was already batched; the per-batch [9, N, N]
