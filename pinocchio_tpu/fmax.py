@@ -480,6 +480,12 @@ class FmaxResult:
     # vel_segments entries are [n, 3] rows aligned with host_products
     # instead of dense [3, N, N, N] grids
     seg_sparse: bool = False
+    # ooc engine: FmaxPDF histogram precomputed during needed-prep (the
+    # dense grid never needs to revisit the device), and the handle for
+    # the in-flight background LPT phase (fmax_ooc._OocPending) that
+    # run_pipeline joins after fragmentation
+    pdf_hist: np.ndarray = None
+    ooc_pending: object = None
     timings: Dict[str, float] = field(default_factory=dict)
 
 
@@ -531,6 +537,13 @@ def fmax_loop_tab(kdensity, radii_grid, ct_tabs, ct_dv, ct_idx_map,
     Rmax0 = jnp.full((N, N, N), -1, jnp.int32)
     sd0 = jnp.zeros((6, N, N, N), jnp.float32)
     if ct_tabs2 is None:
+        if interp != "trilinear":
+            # zero second derivatives would silently degrade the delta
+            # splines of the BILINEAR_SPLINE/ALL_SPLINE variants to
+            # piecewise-linear
+            raise ValueError(f"interp={interp!r} needs the spline "
+                             "second-derivative tables: pass ct_tabs2 "
+                             "(prepare_ct_tables provides them)")
         ct_tabs2 = jnp.zeros_like(ct_tabs)
 
     def body(carry, xs):
@@ -918,12 +931,18 @@ def fetch_products_host(params, fmax_result, verbose: bool = False):
     return dataclasses.replace(fmax_result, host_products=sp)
 
 
-def fmax_pdf(Fmax, fname: str = None):
+def fmax_pdf(Fmax, fname: str = None, hist=None):
     """Histogram of Fmax (Fmax_PDF, fmax.c:509-550): 210 bins of width
     0.1 in F, counts, matching the reference file format.  Device arrays
-    are binned on device (210 counts cross the link, not N^3 floats)."""
-    npart = Fmax.size
-    if not isinstance(Fmax, np.ndarray):
+    are binned on device (210 counts cross the link, not N^3 floats);
+    hist: precomputed counts (the ooc engine bins during needed-prep)."""
+    if hist is not None:
+        npart = int(np.sum(hist))
+    else:
+        npart = Fmax.size
+    if hist is not None:
+        pass
+    elif not isinstance(Fmax, np.ndarray):
         hist = np.asarray(_pdf_bincount(Fmax))
     else:
         # float32 math: the ooc engine hands a float16 grid whose largest

@@ -34,8 +34,12 @@ Facts measured on the tunneled v5e force that shape:
     stores are 2-D slab rows [nsl, Bz*N*N] (a 3-D slab max-update made
     XLA relayout-copy the 2 GB Fmax grid);
   * at the ledger's edge (post-cycle phases at N >= 1024, ~15.05 of
-    15.75 GB) even the grouped members' larger transients tip lazy-free
-    HBM over — those grids group only the cycle (self.group_lpt);
+    15.75 GB) a grouped member that reads a resident SPECTRUM from
+    fori-loop context hoists a full copy of it (+2 GB) — so every
+    spec-reading group (build_first/build_pair) UNROLLS its K sections
+    instead, the v-row streams stay per-slab (their grouped [K, cap, 3]
+    transfer buffers tipped HBM in round 4), and phase boundaries issue
+    a tiny sync dispatch to drain the backend's lazy free queue;
   * MXU matmul DFTs at precision HIGH beat XLA's c64 FFT by >10x on
     these shapes (ops/derivatives._second_derivatives_mm measured 3.1x
     at 512^3 where the FFT was already batched; the per-batch [9, N, N]
@@ -254,14 +258,13 @@ class OocEngine:
         # fine — module docstring)
         self.group = params.ooc_group if params.ooc_group else 4
         # post-cycle phases run at the ledger's edge at N >= 1024
-        # (v-streams ~15.05 GB of 15.75): with the backend's LAZY frees,
-        # the grouped LPT members' larger transients (and the spec-read
-        # hoist risk inside build_first's fori) tipped the stream phase
-        # into ResourceExhausted (measured twice) — so beyond-HBM grids
-        # group ONLY the collapse cycle (proven end-to-end at 1024^3)
-        # and keep every post-cycle member per-batch (the shape of the
-        # recorded 5504 s run)
-        self.group_lpt = self.group if N < 1024 else 1
+        # (v-streams ~15.05 GB of 15.75): round 4's fori-grouped LPT
+        # builders hoisted a full copy of the resident source spectrum
+        # (+2 GB) and tipped the stream phase into ResourceExhausted —
+        # the spec-reading groups now UNROLL their K sections (reads
+        # alias, like the cycle consumers), which removes the hoist and
+        # lets every grid group the LPT phases too
+        self.group_lpt = self.group
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
@@ -360,20 +363,22 @@ class OocEngine:
             self._store_uc(out, 2 * c, _mm_ifft2(base * kc), kz0)
         return tuple(out)
 
-    @partial(jax.jit, static_argnames=("self", "B"), donate_argnums=(1, 2))
-    def build_single_batch(self, ure, uim, spec, ia: jnp.int32,
-                           ib: jnp.int32, use_density: jnp.bool_,
-                           fac_one: jnp.bool_, kz0, B: int = None):
-        """ONE kz batch of ONE Hessian component k_ia k_ib / k^2 of
-        either the density (regenerated) or a resident spectrum (plain
-        arg) — the 3LPT-b pair-folding workhorse.  fac_one=True instead
-        applies factor 1 (the field itself: trace term tr(phi,ij) =
-        delta, and q2 for the 2 tr(sd) q2 product).  All flags traced so
-        the 6x2+2 combinations share one executable."""
+    @partial(jax.jit, static_argnames=("self", "B"),
+             donate_argnums=(1, 2, 3, 4))
+    def build_pair_batch(self, u1re, u1im, u2re, u2im, spec,
+                         ia: jnp.int32, ib: jnp.int32,
+                         fac_one: jnp.bool_, kz0, B: int = None):
+        """ONE kz batch of BOTH 3LPT-b fold operands for one Hessian
+        component k_ia k_ib / k^2: u1 from the DENSITY (regenerated) and
+        u2 from the resident q2 spectrum (plain arg), sharing one fac
+        evaluation — half the dispatches of building them separately.
+        fac_one=True instead applies factor 1 (the 'first' fold call:
+        trace term tr(phi,ij) = delta, and q2 itself).  Flags traced so
+        the 6+1 combinations share one executable (LPT.c:89-141)."""
         N = self.N
         kzs = kz0 + jnp.arange(B, dtype=jnp.int32)
-        d_gen = jax.vmap(self.plane)(kzs)
-        d = jnp.where(use_density, d_gen, self._read_spec(spec, kz0, B))
+        d1 = jax.vmap(self.plane)(kzs)
+        d2 = self._read_spec(spec, kz0, B)
         kxp, kyp = self._kxy()
         kzv = ((2.0 * jnp.pi / N)
                * kzs.astype(jnp.float32)).reshape(B, 1, 1)
@@ -383,12 +388,16 @@ class OocEngine:
                         jnp.broadcast_to(kyp, (B, N, N)),
                         jnp.broadcast_to(kzv, (B, N, N))])
         fac = jnp.where(fac_one, 1.0, kv[ia] * kv[ib] * inv)
-        w = _mm_ifft2(d * fac)
-        wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
-        wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
-        ure = jax.lax.dynamic_update_slice(ure, wre, (0, kz0, 0))
-        uim = jax.lax.dynamic_update_slice(uim, wim, (0, kz0, 0))
-        return ure, uim
+        out = [u1re, u1im, u2re, u2im]
+        for half, d in enumerate((d1, d2)):
+            w = _mm_ifft2(d * fac)
+            wre = jnp.transpose(jnp.real(w), (1, 0, 2)).astype(self.dtype)
+            wim = jnp.transpose(jnp.imag(w), (1, 0, 2)).astype(self.dtype)
+            out[2 * half] = jax.lax.dynamic_update_slice(
+                out[2 * half], wre, (0, kz0, 0))
+            out[2 * half + 1] = jax.lax.dynamic_update_slice(
+                out[2 * half + 1], wim, (0, kz0, 0))
+        return tuple(out)
 
     # ---------------- pass B: z-slab consumers -------------------------
 
@@ -558,13 +567,15 @@ class OocEngine:
     # K consecutive batches fused into ONE device program: the tunneled
     # worker's per-call cost dominated the first 1024^3 cycle (~1100
     # dispatches, BENCH_1024.json; grouping measured 3.2x on the 512^3
-    # e2e).  BUILDERS use a lax.fori_loop — their carried stacks are
-    # only WRITTEN (dynamic_update_slice aliases in place) and their
-    # dots read fresh-per-iteration operands.  CONSUMERS must NOT use a
-    # device loop: a dot reading the big stack from inside while-loop
-    # context makes XLA materialize a FULL COPY (+12.45 GiB measured at
-    # 1024^3 in cycle_group's compile — the r3 hoist, which hits
-    # loop-INVARIANT reads too), so consumer groups UNROLL the K
+    # e2e).  Only the DENSITY-sourced Hessian builder may use a
+    # lax.fori_loop — its carried stacks are only WRITTEN
+    # (dynamic_update_slice aliases in place) and its dots read
+    # fresh-per-iteration operands.  Every member whose dots READ a big
+    # resident array (the cycle/fold consumers reading the stacks, the
+    # LPT builders reading a source spectrum) must NOT: a dot reading it
+    # from loop context makes XLA materialize a FULL COPY (+12.45 GiB
+    # measured at 1024^3 in cycle_group's compile — the r3 hoist, which
+    # hits loop-INVARIANT reads too), so those groups UNROLL the K
     # iterations into straight-line XLA where reads alias like the
     # per-batch programs.  K=4 stays far under the worker's
     # long-program kill threshold either way.
@@ -582,23 +593,29 @@ class OocEngine:
              donate_argnums=(1,))
     def build_first_group(self, us, spec, gtab, glo, gdx, kz00,
                           source: str, B: int, K: int):
+        """UNROLLED (not fori): a dot reading the resident spectrum from
+        loop context makes XLA hoist a full copy of it (+2 GB at 1024^3
+        — the round-4 v-stream ResourceExhausted); straight-line
+        sections read it aliased like the per-batch programs."""
         body = type(self).build_first_batch.__wrapped__
-
-        def step(i, us):
-            return body(self, us, spec, gtab, glo, gdx, kz00 + i * B,
-                        source, B)
-        return jax.lax.fori_loop(0, K, step, us)
+        for i in range(K):
+            us = body(self, us, spec, gtab, glo, gdx, kz00 + i * B,
+                      source, B)
+            (spec,), us = _seq((spec,), tuple(us), i, K)
+        return us
 
     @partial(jax.jit, static_argnames=("self", "B", "K"),
-             donate_argnums=(1, 2))
-    def build_single_group(self, ure, uim, spec, ia, ib, use_density,
-                           fac_one, kz00, B: int, K: int):
-        body = type(self).build_single_batch.__wrapped__
-
-        def step(i, uu):
-            return body(self, uu[0], uu[1], spec, ia, ib, use_density,
-                        fac_one, kz00 + i * B, B)
-        return jax.lax.fori_loop(0, K, step, (ure, uim))
+             donate_argnums=(1, 2, 3, 4))
+    def build_pair_group(self, u1re, u1im, u2re, u2im, spec, ia, ib,
+                         fac_one, kz00, B: int, K: int):
+        """UNROLLED for the same spec-hoist reason as
+        build_first_group."""
+        body = type(self).build_pair_batch.__wrapped__
+        uu = (u1re, u1im, u2re, u2im)
+        for i in range(K):
+            uu = body(self, *uu, spec, ia, ib, fac_one, kz00 + i * B, B)
+            (spec,), uu = _seq((spec,), tuple(uu), i, K)
+        return uu
 
     @partial(jax.jit, static_argnames=("self", "K"),
              donate_argnums=(2, 3, 4))
@@ -713,18 +730,18 @@ class OocEngine:
                                             source=source, B=B, K=K)
         return us
 
-    def build_single(self, ure, uim, spec, ia, ib, use_density,
-                     fac_one):
-        args = (jnp.int32(ia), jnp.int32(ib), jnp.bool_(use_density),
-                jnp.bool_(fac_one))
+    def build_pair(self, uu, spec, ia, ib, fac_one):
+        """uu = (u1re, u1im, u2re, u2im): both fold operands for one
+        component over all kz batches."""
+        args = (jnp.int32(ia), jnp.int32(ib), jnp.bool_(fac_one))
         for kz0, B, K in self._kz_chunks(self.group_lpt):
             if K == 1:
-                ure, uim = self.build_single_batch(
-                    ure, uim, spec, *args, jnp.int32(kz0), B=B)
+                uu = self.build_pair_batch(*uu, spec, *args,
+                                           jnp.int32(kz0), B=B)
             else:
-                ure, uim = self.build_single_group(
-                    ure, uim, spec, *args, jnp.int32(kz0), B=B, K=K)
-        return ure, uim
+                uu = self.build_pair_group(*uu, spec, *args,
+                                           jnp.int32(kz0), B=B, K=K)
+        return uu
 
     def cycle_radius(self, us, Fmax, s1, s2, pack):
         """One radius of the collapse cycle over all z-slabs."""
@@ -817,17 +834,6 @@ class OocEngine:
         return rows.astype(self.fdtype)
 
     @partial(jax.jit, static_argnames=("self", "K"))
-    def vrows_group(self, us, idx_all, j0, K: int):
-        """K consecutive slabs' needed rows in one dispatch
-        [K, cap, 3] (same bytes on the wire, K x fewer round trips)."""
-        body = type(self).vrows_slab.__wrapped__
-        rows = []
-        for j in range(K):
-            rows.append(body(self, us, idx_all, j0 + j))
-            us, (rows[-1],) = _seq(us, (rows[-1],), j, K)
-        return jnp.stack(rows)
-
-    @partial(jax.jit, static_argnames=("self", "K"))
     def q31_group(self, us, z00, K: int):
         """K consecutive 3LPT-a source slabs in one dispatch
         [K*Bz, N, N] (z-major, ready for the host concatenation)."""
@@ -865,8 +871,101 @@ def ooc_supported(params: Params, reason: bool = False):
     return (why is None, why) if reason else why is None
 
 
+_probe = jax.jit(lambda x: x + 1)
+
+
+def _drain_frees():
+    """Dispatch a trivial program and sync it: gives the tunneled
+    backend a dispatch boundary at which to process its LAZY free queue
+    before the next phase's first big allocation (the CLAUDE.md
+    lazy-free gotcha: round 4's grouped post-cycle phases hit
+    ResourceExhausted at ~15.05/15.75 GB partly because retired buffers
+    from the previous phase had not actually been freed yet).  ~20 ms
+    on the tunneled link, negligible elsewhere."""
+    np.asarray(_probe(jnp.int32(0)))
+
+
+class _OocStream:
+    """Watermark-bearing host buffers for the ooc displacement streams.
+
+    Duck-types fmax._StreamState for the fragmentation driver (.ready /
+    .buffer / .wait / .check / .buffers) so StreamingVel and the C
+    sweep's rows_ready consumer work unchanged.  Rows land in z-slab
+    (storage) order while the sweep processes in descending-F order, so
+    the watermark mostly gates the sweeps until the LAST table
+    completes — the overlap win is that every sub-box's
+    selection + sort (fragment.c:484-520, 580 s of dead serial time at
+    1024^3) and the host needed-prep run DURING the streams instead of
+    after them."""
+
+    def __init__(self, n: int, keys):
+        import threading
+        self.n = n
+        self.keys = list(keys)
+        self.buffers: Dict[str, np.ndarray] = {}
+        self._delivered = {k: 0 for k in self.keys}
+        self._events = {k: threading.Event() for k in self.keys}
+        self.ready = np.zeros(1, np.int64)
+        self._lock = threading.Lock()
+        self.error = None
+
+    def buffer(self, key):
+        with self._lock:
+            b = self.buffers.get(key)
+            if b is None:
+                b = self.buffers[key] = np.empty((self.n, 3), np.float32)
+        return b
+
+    def advance(self, key, nrows: int):
+        """Slab landings are FIFO per table, so nrows is the table's
+        contiguous delivered prefix; the C sweep reads the min across
+        tables (groupsweep.c rows_ready)."""
+        with self._lock:
+            self._delivered[key] = nrows
+            self.ready[0] = min(self._delivered.values())
+            if nrows >= self.n:
+                self._events[key].set()
+
+    def fail(self, err):
+        self.error = err
+        with self._lock:
+            # unblock the sweep; consumers re-raise through check()
+            self.ready[0] = self.n
+            for ev in self._events.values():
+                ev.set()
+
+    def wait(self, key):
+        self._events[key].wait()
+        if self.error:
+            raise self.error
+
+    def check(self):
+        if self.error:
+            raise self.error
+
+
+class _OocPending:
+    """Handle for the ooc engine's in-flight background LPT phase: the
+    pipeline driver join()s it AFTER fragmentation (the sweeps gate on
+    the stream watermark anyway) to surface errors and the final
+    sources/lpt timings."""
+
+    def __init__(self, thread, stream, timings):
+        self.thread = thread
+        self.stream = stream
+        self.timings = timings
+
+    def join(self):
+        if self.thread is not None:
+            self.thread.join()
+            self.thread = None
+        if self.stream is not None:
+            self.stream.check()
+        return self.timings
+
+
 def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
-                 verbose: bool = True) -> FmaxResult:
+                 verbose: bool = True, overlap: bool = True) -> FmaxResult:
     """The out-of-core fmax run: collapse cycle + 3LPT displacements with
     a bounded device working set, host products assembled streaming.
 
@@ -876,9 +975,19 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
     half-transform stacks for free), and scale-dependent growth via
     per-radius packs (cycle) + per-mode D(k) tables (LPT streams).
 
-    Returns an FmaxResult whose host_products are already materialized
-    (sorted_by='ci'): fragmentation sorts per sub-box on the host, since
-    a device-side (-F) sort of N^3 >= 1024^3 keys has no workspace."""
+    overlap=True (default): returns as soon as the needed-particle set
+    (ci, F) is known — the source/fold/stream device phases continue on
+    a background thread, landing displacement rows into watermarked
+    host buffers (_OocStream), so fragmentation's selection+sort runs
+    concurrently with them and the C sweeps start the moment the last
+    table lands (rows_ready).  The caller must join
+    FmaxResult.ooc_pending after fragmentation (run_pipeline does).
+
+    Returns an FmaxResult whose host_products rows are in z-slab
+    storage order (sorted_by='ci'): fragmentation sorts per sub-box on
+    the host, since a device-side (-F) sort of N^3 >= 1024^3 keys has
+    no workspace."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     ok, why = ooc_supported(params, reason=True)
@@ -888,6 +997,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
 
     eng = OocEngine(params, cosmo, verbose=verbose)
     N, Nh = eng.N, eng.Nh
+    nsl = N // eng.Bz
     sm = eng.sm
     timings: Dict[str, float] = {}
     ex = ThreadPoolExecutor(max_workers=2)   # d2h stream (serial link)
@@ -906,8 +1016,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
     us = eng.zeros_stack(6)
     # slab-row store [nsl, Bz*N*N] (cycle_slab docstring)
-    Fmax = jnp.full((N // eng.Bz, eng.Bz * N * N), -10.0, eng.fdtype)
-    nsl = N // eng.Bz
+    Fmax = jnp.full((nsl, eng.Bz * N * N), -10.0, eng.fdtype)
     stats = []
     for ism in range(sm.n):
         us = eng.build_hessian(us, jnp.float32(radii_grid[ism]))
@@ -937,202 +1046,262 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                   flush=True)
     timings["fmax_loop"] = time.perf_counter() - t0
 
-    # ---- Fmax to host, then its buffer becomes q2 -------------------
+    # ---- Fmax to host (must COMPLETE before q2 aliases its buffer) --
     t0 = time.perf_counter()
-    # z-major [z, x, y] view of the slab rows; must COMPLETE before q2
-    # overwrites the device buffer
-    F_host = np.asarray(Fmax).reshape(N, N, N)
-    lpt_order = params.lpt_order
-    q2 = None
-    if lpt_order >= 2:
-        # q2 is stored in the wire dtype so the retired Fmax buffer
-        # (same shape + dtype) aliases as its storage: the 2LPT phase
-        # fits next to the 12-array us stack without a fresh N^3 alloc
-        q2, Fmax = Fmax, None
-        q2 = eng.q2_all(us, q2)
-    del Fmax
-    q31_parts = []
-    if lpt_order >= 3:
-        futs = []
-        for z0, K in eng._z_chunks(eng.group_lpt):
-            sl = (eng.q31_slab(us, jnp.int32(z0)) if K == 1
-                  else eng.q31_group(us, jnp.int32(z0), K=K))
-            futs.append(ex.submit(np.asarray, sl))
-            while len([f for f in futs if not f.done()]) > 3:
-                time.sleep(0.005)
-        q31_parts = [f.result() for f in futs]
-    del us                                    # free the Hessian stack
-    timings["sources"] = time.perf_counter() - t0
+    F_host = np.asarray(Fmax).reshape(N, N, N)    # z-major [z, x, y]
+    timings["fmax_transfer"] = time.perf_counter() - t0
 
-    # host-side needed-cell prep (overlaps the device v-phases below
-    # only through the transfer threads; numpy here is the 2-vCPU host).
-    # F_host is Z-MAJOR [z, x, y], so every slab is a contiguous block —
-    # no transposed copies (they cost ~2 extra grid passes at 1024^3)
-    t0 = time.perf_counter()
-    flast = np.asarray(params.Flast, F_host.dtype)
-    mask3 = F_host >= flast
-    Bz = eng.Bz
-    loc_idx, ci_parts, f_parts, counts = [], [], [], []
-    for j in range(nsl):
-        z0 = j * Bz
-        li = np.flatnonzero(mask3[z0:z0 + Bz].ravel()).astype(np.int32)
-        loc_idx.append(li)
-        counts.append(len(li))
-        li64 = li.astype(np.int64)
-        b, rem = np.divmod(li64, N * N)
-        x, y = np.divmod(rem, N)
-        ci_parts.append((x * N + y) * N + (z0 + b))
-        f_parts.append(F_host[z0:z0 + Bz].reshape(-1)[li]
-                       .astype(np.float32))
-    del mask3
-    ci_all = np.concatenate(ci_parts)
-    F_all = np.concatenate(f_parts)
-    del ci_parts, f_parts
-    ntot = len(ci_all)
-    cap = max(128, int(-(-max(counts) * 1.02 // 128)) * 128)
-    idx_pad = np.zeros((nsl, cap), np.int32)
-    for j, li in enumerate(loc_idx):
-        idx_pad[j, :len(li)] = li
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    del loc_idx
-    timings["needed_prep"] = time.perf_counter() - t0
+    # ---- needed-cell prep + FmaxPDF, background host thread ---------
+    # pure numpy over F_host: fully overlapped with the device-bound
+    # source/fold phases (it was 300 s of dead serial time at 1024^3).
+    # F_host is Z-MAJOR so every slab is a contiguous block
+    prep: dict = {}
+
+    def needed_prep():
+        try:
+            tp = time.perf_counter()
+            flast = np.asarray(params.Flast, F_host.dtype)
+            Bz = eng.Bz
+            loc_idx, ci_parts, f_parts, counts = [], [], [], []
+            hist = np.zeros(210, np.int64)
+            for j in range(nsl):
+                z0 = j * Bz
+                blk = F_host[z0:z0 + Bz].reshape(-1)
+                # FmaxPDF histogram in the same cache-warm pass
+                # (fmax.c:509-550; f16 overflow handling as fmax_pdf)
+                xb = blk.astype(np.float32) * 10.0
+                xb = np.clip(np.nan_to_num(xb, nan=0.0, posinf=209.0,
+                                           neginf=0.0).astype(np.int32),
+                             0, 209)
+                hist += np.bincount(xb, minlength=210)
+                del xb
+                li = np.flatnonzero(blk >= flast).astype(np.int32)
+                loc_idx.append(li)
+                counts.append(len(li))
+                li64 = li.astype(np.int64)
+                b, rem = np.divmod(li64, N * N)
+                x, y = np.divmod(rem, N)
+                ci_parts.append((x * N + y) * N + (z0 + b))
+                f_parts.append(blk[li].astype(np.float32))
+            ci_all = np.concatenate(ci_parts)
+            F_all = np.concatenate(f_parts)
+            del ci_parts, f_parts
+            cap = max(128, int(-(-max(counts) * 1.02 // 128)) * 128)
+            idx_pad = np.zeros((nsl, cap), np.int32)
+            for j, li in enumerate(loc_idx):
+                idx_pad[j, :len(li)] = li
+            offsets = np.concatenate([[0],
+                                      np.cumsum(counts)]).astype(np.int64)
+            prep.update(ci=ci_all, F=F_all, counts=counts,
+                        offsets=offsets, idx_pad=idx_pad, cap=cap,
+                        ntot=len(ci_all), hist=hist)
+            timings["needed_prep"] = time.perf_counter() - tp
+        except BaseException as e:                     # noqa: BLE001
+            prep["error"] = e
+
+    prep_th = threading.Thread(target=needed_prep, daemon=True)
+    prep_th.start()
+
+    stream_ready = threading.Event()
+    box: dict = {}
+    lpt_keys = ["v1"]
+    if params.lpt_order >= 2:
+        lpt_keys.append("v2")
+    if params.lpt_order >= 3:
+        lpt_keys += ["v31", "v32"]
+
+    # ---- device phases: sources, folds, spectra, row streams --------
+    def lpt_phase():
+        nonlocal us, Fmax
+        try:
+            ts = time.perf_counter()
+            lpt_order = params.lpt_order
+            q2 = None
+            if lpt_order >= 2:
+                # q2 is stored in the wire dtype so the retired Fmax
+                # buffer (same shape + dtype) aliases as its storage:
+                # the 2LPT phase fits next to the 12-array us stack
+                # without a fresh N^3 alloc
+                q2, Fmax = Fmax, None
+                q2 = eng.q2_all(us, q2)
+            Fmax = None
+            q31_parts = []
+            if lpt_order >= 3:
+                futs = []
+                for z0, K in eng._z_chunks(eng.group_lpt):
+                    sl = (eng.q31_slab(us, jnp.int32(z0)) if K == 1
+                          else eng.q31_group(us, jnp.int32(z0), K=K))
+                    futs.append(ex.submit(np.asarray, sl))
+                    while len([f for f in futs if not f.done()]) > 3:
+                        time.sleep(0.005)
+                q31_parts = [f.result() for f in futs]
+            us = None                     # free the Hessian stack
+            _drain_frees()
+            timings["sources"] = time.perf_counter() - ts
+
+            ts = time.perf_counter()
+            z0out = params.zlast
+            order_fns = (cosmo.GrowingMode, cosmo.GrowingMode_2LPT,
+                         cosmo.GrowingMode_3LPT_1, cosmo.GrowingMode_3LPT_2)
+            if getattr(cosmo, "scale_dep", False):
+                # per-mode D_i(z, k) tables over log10 |k| grid units —
+                # exactly the lookup build_first_batch implements
+                # (fmax-pfft.c:344-364)
+                from .fmax import growth_k_tables
+                _gtabs, _glo, _gdx = growth_k_tables(cosmo, z0out, N)
+
+                def growth(iorder, z):
+                    return (_gtabs[iorder], _glo, _gdx)
+            else:
+                def growth(iorder, z):
+                    return _const_gtab(float(order_fns[iorder](z)))
+
+            q2hat = None
+            if lpt_order >= 2:
+                q2hat = eng.to_spec(q2, jnp.zeros((2, N, Nh, N),
+                                                  eng.dtype))
+                q2 = None
+
+            q32hat = None
+            if lpt_order >= 3:
+                # 3LPT-b: fold the mixed invariant one component-pair at
+                # a time.  Runs while NO displacement stack exists — the
+                # f32 re/im accumulators (4 GiB at 1024^3) + the two
+                # component pairs + q2hat is the phase peak.
+                wre = jnp.zeros((N, Nh, N), jnp.float32)
+                wim = jnp.zeros((N, Nh, N), jnp.float32)
+                uu = tuple(jnp.zeros((N, Nh, N), eng.dtype)
+                           for _ in range(4))
+                uu = eng.build_pair(uu, q2hat, 0, 0, True)
+                wre, wim = eng.fold_pair(wre, wim, *uu, np.bool_(True),
+                                         np.float32(0.0))
+                for c, (ia, ib) in enumerate(PAIRS):
+                    uu = eng.build_pair(uu, q2hat, ia, ib, False)
+                    wre, wim = eng.fold_pair(wre, wim, *uu,
+                                             np.bool_(False),
+                                             np.float32(PAIR_W[c]))
+                uu = None
+                _drain_frees()
+                q32hat = eng.pair_to_spec(wre, wim,
+                                          jnp.zeros((2, N, Nh, N),
+                                                    eng.dtype))
+                wre = wim = None
+
+            q31hat = None
+            if lpt_order >= 3:
+                # 3LPT-a: det source round-trips via the host
+                q31h = np.concatenate(q31_parts, axis=0)  # z-major
+                q31_parts = None
+                q31d = jax.device_put(q31h)
+                del q31h
+                q31hat = eng.to_spec(q31d, jnp.zeros((2, N, Nh, N),
+                                                     eng.dtype))
+                q31d = None
+            _drain_frees()
+
+            # ---- displacement row streaming -------------------------
+            stream_ready.wait()
+            stream = box["stream"]
+            stream.check()                # surfaces a needed-prep error
+            counts = prep["counts"]
+            offsets = prep["offsets"]
+            idx_dev = jax.device_put(prep["idx_pad"])
+            prep["idx_pad"] = None
+
+            def stream_rows(key, u_v):
+                buf = stream.buffer(key)
+
+                def land(j, fut):
+                    rows = fut.result()
+                    n_j = counts[j]
+                    buf[offsets[j]:offsets[j] + n_j] = rows[:n_j]
+                    stream.advance(key, int(offsets[j + 1]))
+
+                # per-slab dispatches on purpose: the stream is
+                # LINK-bound, and grouped [K, cap, 3] buffers pushed the
+                # v-stream phase peak (~15.05 GB) past HBM at 1024^3
+                # (measured ResourceExhausted); at most 3 in-flight
+                # transfer buffers keep the proven headroom
+                pend = []
+                for j0 in range(nsl):
+                    rows_dev = eng.vrows_slab(u_v, idx_dev,
+                                              jnp.int32(j0))
+                    fut = ex.submit(np.asarray, rows_dev)
+                    pend.append((j0, fut))
+                    while len([1 for _, f in pend if not f.done()]) > 2:
+                        time.sleep(0.005)
+                    while pend and pend[0][1].done():
+                        land(*pend.pop(0))
+                for j0, f in pend:
+                    land(j0, f)
+
+            dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
+            u_v = eng.zeros_stack(3)
+            u_v = eng.build_first(u_v, dummy, growth(0, z0out),
+                                  source="density")
+            stream_rows("v1", u_v)
+
+            if lpt_order >= 2:
+                u_v = eng.build_first(u_v, q2hat, growth(1, z0out),
+                                      source="spec")
+                stream_rows("v2", u_v)
+            q2hat = None
+
+            if lpt_order >= 3:
+                u_v = eng.build_first(u_v, q31hat, growth(2, z0out),
+                                      source="spec")
+                stream_rows("v31", u_v)
+                q31hat = None
+                u_v = eng.build_first(u_v, q32hat, growth(3, z0out),
+                                      source="spec")
+                stream_rows("v32", u_v)
+                q32hat = None
+            u_v = idx_dev = None
+            timings["lpt"] = time.perf_counter() - ts
+        except BaseException as e:                     # noqa: BLE001
+            stream_ready.wait()
+            st = box.get("stream")
+            if st is not None:
+                st.fail(e)
+            else:
+                raise
+        finally:
+            ex.shutdown(wait=True)
+
+    lpt_th = None
+    if overlap:
+        lpt_th = threading.Thread(target=lpt_phase, daemon=True)
+        lpt_th.start()
+
+    prep_th.join()
+    if "error" in prep:
+        stream = _OocStream(0, lpt_keys)
+        stream.fail(prep["error"])
+        box["stream"] = stream
+        stream_ready.set()
+        raise prep["error"]
+    ntot = prep["ntot"]
+    stream = _OocStream(ntot, lpt_keys)
+    box["stream"] = stream
+    stream_ready.set()
     if verbose:
         print(f"  ooc products: {ntot}/{N ** 3} needed particles "
-              f"({100.0 * ntot / N ** 3:.1f}%), slab cap {cap}",
-              flush=True)
+              f"({100.0 * ntot / N ** 3:.1f}%), slab cap {prep['cap']}"
+              + (", streams overlapped with fragmentation" if overlap
+                 else ""), flush=True)
+    if not overlap:
+        lpt_phase()
+        stream.check()
 
-    # ---- LPT sources (fold BEFORE the u_v stack exists: ledger) -----
-    t0 = time.perf_counter()
-    z0out = params.zlast
-
-    order_fns = (cosmo.GrowingMode, cosmo.GrowingMode_2LPT,
-                 cosmo.GrowingMode_3LPT_1, cosmo.GrowingMode_3LPT_2)
-    if getattr(cosmo, "scale_dep", False):
-        # per-mode D_i(z, k) tables over log10 |k| grid units — exactly
-        # the lookup build_first_batch already implements
-        # (fmax-pfft.c:344-364)
-        from .fmax import growth_k_tables
-        _gtabs, _glo, _gdx = growth_k_tables(cosmo, z0out, N)
-
-        def growth(iorder, z):
-            return (_gtabs[iorder], _glo, _gdx)
-    else:
-        def growth(iorder, z):
-            return _const_gtab(float(order_fns[iorder](z)))
-
-    q2hat = None
-    if lpt_order >= 2:
-        q2hat = eng.to_spec(q2, jnp.zeros((2, N, Nh, N), eng.dtype))
-        del q2
-
-    q32hat = None
-    if lpt_order >= 3:
-        # 3LPT-b: fold the mixed invariant one component-pair at a time.
-        # Runs while NO displacement stack exists — the f32 re/im
-        # accumulators (4 GiB at 1024^3) + the two component pairs +
-        # q2hat is the phase peak.
-        wre = jnp.zeros((N, Nh, N), jnp.float32)
-        wim = jnp.zeros((N, Nh, N), jnp.float32)
-        u1re = jnp.zeros((N, Nh, N), eng.dtype)
-        u1im = jnp.zeros((N, Nh, N), eng.dtype)
-        u2re = jnp.zeros((N, Nh, N), eng.dtype)
-        u2im = jnp.zeros((N, Nh, N), eng.dtype)
-
-        def fold_all(wre, wim, u1re, u1im, u2re, u2im, first, weight):
-            return eng.fold_pair(wre, wim, u1re, u1im, u2re, u2im,
-                                 np.bool_(first), np.float32(weight))
-
-        u1re, u1im = eng.build_single(u1re, u1im, q2hat, 0, 0,
-                                      True, True)
-        u2re, u2im = eng.build_single(u2re, u2im, q2hat, 0, 0,
-                                      False, True)
-        wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
-                            True, 0.0)
-        for c, (ia, ib) in enumerate(PAIRS):
-            u1re, u1im = eng.build_single(u1re, u1im, q2hat, ia, ib,
-                                          True, False)
-            u2re, u2im = eng.build_single(u2re, u2im, q2hat, ia, ib,
-                                          False, False)
-            wre, wim = fold_all(wre, wim, u1re, u1im, u2re, u2im,
-                                False, PAIR_W[c])
-        del u1re, u1im, u2re, u2im
-        q32hat = eng.pair_to_spec(wre, wim,
-                                  jnp.zeros((2, N, Nh, N), eng.dtype))
-        del wre, wim
-
-    q31hat = None
-    if lpt_order >= 3:
-        # 3LPT-a: det source round-trips via the host
-        q31h = np.concatenate(q31_parts, axis=0)   # z-major [z, x, y]
-        del q31_parts
-        q31d = jax.device_put(q31h)
-        del q31h
-        q31hat = eng.to_spec(q31d, jnp.zeros((2, N, Nh, N), eng.dtype))
-        del q31d
-
-    # ---- displacement row streaming ---------------------------------
-    idx_dev = jax.device_put(idx_pad)
-    del idx_pad
-    vel: Dict[str, np.ndarray] = {}
-
-    def stream_rows(key, u_v):
-        buf = np.empty((ntot, 3), np.float32)
-        vel[key] = buf
-
-        def land(j0, K, fut):
-            rows = fut.result()
-            for jj in range(K):
-                j = j0 + jj
-                n_j = counts[j]
-                r = rows[jj] if rows.ndim == 3 else rows
-                buf[offsets[j]:offsets[j] + n_j] = r[:n_j]
-
-        # per-slab dispatches on purpose: the stream is LINK-bound, and
-        # grouped [K, cap, 3] buffers (4 in flight) pushed the v-stream
-        # phase peak (u_v + 3 spectra + idx ~ 15.05 GB) past HBM at
-        # 1024^3 (measured ResourceExhausted); per-slab keeps the
-        # proven ~0.25 GB of in-flight buffers
-        pend = []
-        for j0 in range(nsl):
-            rows_dev = eng.vrows_slab(u_v, idx_dev, jnp.int32(j0))
-            fut = ex.submit(np.asarray, rows_dev)
-            pend.append((j0, 1, fut))
-            while len([1 for *_, f in pend if not f.done()]) > 3:
-                time.sleep(0.005)
-            while pend and pend[0][2].done():
-                land(*pend.pop(0))
-        for j0, K, f in pend:
-            land(j0, K, f)
-
-    dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
-    u_v = eng.zeros_stack(3)
-    g1 = growth(0, z0out)
-    u_v = eng.build_first(u_v, dummy, g1, source="density")
-    stream_rows("v1", u_v)
-
-    if lpt_order >= 2:
-        g2 = growth(1, z0out)
-        u_v = eng.build_first(u_v, q2hat, g2, source="spec")
-        stream_rows("v2", u_v)
-    del q2hat
-
-    if lpt_order >= 3:
-        g31 = growth(2, z0out)
-        u_v = eng.build_first(u_v, q31hat, g31, source="spec")
-        stream_rows("v31", u_v)
-        del q31hat
-        g32 = growth(3, z0out)
-        u_v = eng.build_first(u_v, q32hat, g32, source="spec")
-        stream_rows("v32", u_v)
-        del q32hat
-    del u_v, idx_dev
-    ex.shutdown(wait=True)
-    timings["lpt"] = time.perf_counter() - t0
-
-    sp = SparseProducts(N=N, ci=ci_all, F=F_all, vel=vel, sorted_by="ci")
+    from .fmax import StreamingVel
+    vel = StreamingVel(stream, {k: k for k in lpt_keys}, ntot)
+    sp = SparseProducts(N=N, ci=prep["ci"], F=prep["F"], vel=vel,
+                        sorted_by="ci")
     # consumers expect the monolithic [x, y, z] orientation; the
     # transpose is a zero-copy view of the z-major store
     products = Products(Fmax=F_host.transpose(1, 2, 0), Rmax=None,
                         vel={})
     return FmaxResult(products=products, smoothing=sm, grid=eng.grid,
-                      kdensity=None, host_products=sp, timings=timings)
+                      kdensity=None, host_products=sp, timings=timings,
+                      pdf_hist=prep["hist"],
+                      ooc_pending=_OocPending(lpt_th, stream, timings))

@@ -229,19 +229,38 @@ def reduce_parts(final_path: str, host_id: int, nhosts: int,
     if not all(os.path.exists(p) for p in paths):
         return None
     merged = None
-    for p in paths:
-        with np.load(p) as d:
-            if merged is None:
-                merged = {k: d[k].copy() for k in d.files}
-            else:
-                for k in merged:
-                    merged[k] = merged[k] + d[k]
+    try:
+        for p in paths:
+            with np.load(p) as d:
+                if merged is None:
+                    merged = {k: d[k].copy() for k in d.files}
+                else:
+                    for k in merged:
+                        merged[k] = merged[k] + d[k]
+    except FileNotFoundError:
+        # two hosts can both pass the all-parts-exist check when they
+        # finish near-simultaneously; the one whose load loop finds a
+        # part already unlinked knows the OTHER host performed the merge
+        return None
     for p in paths:
         try:
             os.unlink(p)
         except OSError:
             pass
     return merged
+
+
+def clear_stale_parts(directory: str, host_id: int):
+    """Remove this host's leftover .part<h>.npz reduction files from a
+    crashed earlier run: stale parts would otherwise be silently summed
+    into (or prematurely complete) the next run's mf/nz reduction.
+    Called at run start, before any output is written."""
+    import glob
+    for p in glob.glob(os.path.join(directory, f"*.part{host_id}.npz")):
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
 
 
 def compute_mf(params: Params, cosmo: Cosmology, snap: CatalogSnapshot,

@@ -34,6 +34,14 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     t_total = time.perf_counter()
     timings = {}
 
+    if hosts and hosts[1] > 1 and write_outputs:
+        # remove this host's leftover .part<h>.npz reduction files from
+        # a crashed earlier run NOW (hosts are barrier-synced seconds
+        # ago by initialize_cluster; parts are only written at run end,
+        # so no live part can exist yet) — stale ones would be silently
+        # summed into this run's mf/nz reductions
+        io_cat.clear_stale_parts(outdir, hosts[0])
+
     if verbose:
         greetings(params)
     t0 = time.perf_counter()
@@ -141,6 +149,14 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
                                      verbose=verbose)
     timings.update({"frag_" + k: v for k, v in frag_res.timings.items()})
     timings["frag_wall"] = time.perf_counter() - t_frag
+    if getattr(fmax_res, "ooc_pending", None) is not None:
+        # the ooc engine's source/fold/stream phases ran on a background
+        # thread, overlapped with fragmentation's selection+sort (the
+        # sweeps gate on the stream watermark): join it now to surface
+        # errors and the final sources/lpt timings
+        fmax_res.ooc_pending.join()
+        timings.update({"fmax_" + k: v
+                        for k, v in fmax_res.timings.items()})
     if verbose and frag_res.best_pred_peak_factor:
         # fragment.c:477 advice line
         print(f"  the PredPeakFactor parameter could have been "
@@ -154,13 +170,16 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         # doing it here lets the overlapped product transfers ride behind
         # the sweep instead of serializing before it
         t0 = time.perf_counter()
-        if fmax_res.products.Fmax is not None:
+        if fmax_res.products.Fmax is not None \
+                or fmax_res.pdf_hist is not None:
             # absent after a sparse-dump restart (the PDF was already
-            # written by the dumping run)
+            # written by the dumping run); the ooc engine precomputes
+            # the histogram during needed-prep (no device revisit)
             fmax_pdf(fmax_res.products.Fmax,
                      os.path.join(outdir,
                                   f"pinocchio.{params.RunFlag}"
-                                  f".FmaxPDF.out"))
+                                  f".FmaxPDF.out"),
+                     hist=fmax_res.pdf_hist)
         timings["fmax_pdf"] = time.perf_counter() - t0
         t0 = time.perf_counter()
 
