@@ -58,10 +58,12 @@ exists, and every spectrum is deleted as soon as its stream lands.
 Collapse models: ELL_CLASSIC (per-radius inverse-growth packs),
 TABULATED_CT and ELL_SNG (per-radius ~1 MB collapse-time tables,
 cycle_slab_tab), and scale-dependent growth (per-radius packs in the
-cycle, per-mode D(k) tables in the LPT streams).  Only the dense-stack
-consumers — RECOMPUTE segments, timeless snapshots, product dumps —
-keep the monolithic engine; config validation refuses those with a
-clear message (ooc_supported).
+cycle, per-mode D(k) tables in the LPT streams).  RECOMPUTE segments
+are extra per-segment row streams over the same resident spectra;
+DumpProducts checkpoints the landed sparse rows (io/dumps.py, deferred
+past fragmentation by run_pipeline).  Only the timeless snapshot —
+whose writer reads UNCOLLAPSED particles and therefore dense stacks —
+keeps the monolithic engine (ooc_supported).
 
 Reference map: compute_fmax fmax.c:36-190 (cycle), LPT.c:32-235
 (sources), allocations.c:37-251 (the bounded-memory contract this
@@ -858,16 +860,16 @@ def _const_gtab(D: float):
 
 def ooc_supported(params: Params, reason: bool = False):
     """Which configurations the out-of-core engine covers: all collapse
-    models (ELL_CLASSIC / TABULATED_CT / ELL_SNG) and scale-dependent
-    growth; only the dense-stack consumers (RECOMPUTE segments,
-    snapshots, product dumps) keep the monolithic engine."""
+    models (ELL_CLASSIC / TABULATED_CT / ELL_SNG), scale-dependent
+    growth, RECOMPUTE_DISPLACEMENTS segments (extra per-segment row
+    streams over the same resident spectra) and DumpProducts (the
+    sparse rows are checkpointed once the streams land, io/dumps.py);
+    only the timeless snapshot — whose writer reads UNCOLLAPSED
+    particles too and therefore dense stacks — keeps the monolithic
+    engine."""
     why = None
-    if params.recompute_displacements:
-        why = "ooc engine does not recompute displacement segments"
-    elif params.WriteTimelessSnapshot:
+    if params.WriteTimelessSnapshot:
         why = "ooc engine keeps no dense displacement stacks for snapshots"
-    elif params.DumpProducts:
-        why = "ooc engine does not dump products"
     return (why is None, why) if reason else why is None
 
 
@@ -1104,11 +1106,21 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
 
     stream_ready = threading.Event()
     box: dict = {}
-    lpt_keys = ["v1"]
+    base_keys = ["v1"]
     if params.lpt_order >= 2:
-        lpt_keys.append("v2")
+        base_keys.append("v2")
     if params.lpt_order >= 3:
-        lpt_keys += ["v31", "v32"]
+        base_keys += ["v31", "v32"]
+    # RECOMPUTE_DISPLACEMENTS: one extra displacement set per additional
+    # output redshift (compute_displacements per segment,
+    # fragment.c:398-429) — each is four more row streams over the SAME
+    # resident source spectra
+    multi_seg = (params.recompute_displacements
+                 and len(params.output_z) > 1)
+    lpt_keys = list(base_keys)
+    if multi_seg:
+        for s in range(1, len(params.output_z)):
+            lpt_keys += [("seg", s, k) for k in base_keys]
 
     # ---- device phases: sources, folds, spectra, row streams --------
     def lpt_phase():
@@ -1140,18 +1152,24 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
             timings["sources"] = time.perf_counter() - ts
 
             ts = time.perf_counter()
-            z0out = params.zlast
+            # recompute runs evaluate the main set at the FIRST output
+            # (fragment interpolates between segments; fmax.c z0 choice)
+            z0out = (params.zlast if not params.recompute_displacements
+                     else params.output_z[0])
             order_fns = (cosmo.GrowingMode, cosmo.GrowingMode_2LPT,
                          cosmo.GrowingMode_3LPT_1, cosmo.GrowingMode_3LPT_2)
             if getattr(cosmo, "scale_dep", False):
                 # per-mode D_i(z, k) tables over log10 |k| grid units —
                 # exactly the lookup build_first_batch implements
-                # (fmax-pfft.c:344-364)
+                # (fmax-pfft.c:344-364); cached per segment redshift
                 from .fmax import growth_k_tables
-                _gtabs, _glo, _gdx = growth_k_tables(cosmo, z0out, N)
+                _gcache: dict = {}
 
                 def growth(iorder, z):
-                    return (_gtabs[iorder], _glo, _gdx)
+                    if z not in _gcache:
+                        _gcache[z] = growth_k_tables(cosmo, z, N)
+                    gtabs, glo, gdx = _gcache[z]
+                    return (gtabs[iorder], glo, gdx)
             else:
                 def growth(iorder, z):
                     return _const_gtab(float(order_fns[iorder](z)))
@@ -1235,27 +1253,38 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                 for j0, f in pend:
                     land(j0, f)
 
+            seg_z = [z0out]
+            if multi_seg:
+                seg_z += list(params.output_z[1:])
             dummy = jnp.zeros((2, 1, 1, 1), eng.dtype)
             u_v = eng.zeros_stack(3)
-            u_v = eng.build_first(u_v, dummy, growth(0, z0out),
-                                  source="density")
-            stream_rows("v1", u_v)
-
-            if lpt_order >= 2:
-                u_v = eng.build_first(u_v, q2hat, growth(1, z0out),
-                                      source="spec")
-                stream_rows("v2", u_v)
-            q2hat = None
-
-            if lpt_order >= 3:
-                u_v = eng.build_first(u_v, q31hat, growth(2, z0out),
-                                      source="spec")
-                stream_rows("v31", u_v)
-                q31hat = None
-                u_v = eng.build_first(u_v, q32hat, growth(3, z0out),
-                                      source="spec")
-                stream_rows("v32", u_v)
-                q32hat = None
+            for s, zs in enumerate(seg_z):
+                # the source spectra stay resident until the LAST
+                # segment's stream has consumed them (the v-stream
+                # ledger already peaks with all three alive)
+                last = s == len(seg_z) - 1
+                key = (lambda k: k) if s == 0 \
+                    else (lambda k: ("seg", s, k))
+                u_v = eng.build_first(u_v, dummy, growth(0, zs),
+                                      source="density")
+                stream_rows(key("v1"), u_v)
+                if lpt_order >= 2:
+                    u_v = eng.build_first(u_v, q2hat, growth(1, zs),
+                                          source="spec")
+                    stream_rows(key("v2"), u_v)
+                    if last:
+                        q2hat = None
+                if lpt_order >= 3:
+                    u_v = eng.build_first(u_v, q31hat, growth(2, zs),
+                                          source="spec")
+                    stream_rows(key("v31"), u_v)
+                    if last:
+                        q31hat = None
+                    u_v = eng.build_first(u_v, q32hat, growth(3, zs),
+                                          source="spec")
+                    stream_rows(key("v32"), u_v)
+                    if last:
+                        q32hat = None
             u_v = idx_dev = None
             timings["lpt"] = time.perf_counter() - ts
         except BaseException as e:                     # noqa: BLE001
@@ -1294,14 +1323,24 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         stream.check()
 
     from .fmax import StreamingVel
-    vel = StreamingVel(stream, {k: k for k in lpt_keys}, ntot)
+    vel = StreamingVel(stream, {k: k for k in base_keys}, ntot)
     sp = SparseProducts(N=N, ci=prep["ci"], F=prep["F"], vel=vel,
                         sorted_by="ci")
+    vel_segments = None
+    if multi_seg:
+        # sparse RECOMPUTE segments aligned row-for-row with vel (the
+        # sweep reads them through the same rowmap + watermark)
+        vel_segments = [vel] + [
+            StreamingVel(stream, {k: ("seg", s, k) for k in base_keys},
+                         ntot)
+            for s in range(1, len(params.output_z))]
+        sp.segments = vel_segments
     # consumers expect the monolithic [x, y, z] orientation; the
     # transpose is a zero-copy view of the z-major store
     products = Products(Fmax=F_host.transpose(1, 2, 0), Rmax=None,
                         vel={})
     return FmaxResult(products=products, smoothing=sm, grid=eng.grid,
                       kdensity=None, host_products=sp, timings=timings,
-                      pdf_hist=prep["hist"],
+                      pdf_hist=prep["hist"], vel_segments=vel_segments,
+                      seg_sparse=vel_segments is not None,
                       ooc_pending=_OocPending(lpt_th, stream, timings))

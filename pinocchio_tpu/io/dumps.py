@@ -106,9 +106,16 @@ def dump_products(params, fmax_result, directory=".",
     else:
         _, sp, segs = _sparsify(params, fmax_result)
 
+    # displacement rows are stored in the wire dtype: on accelerator
+    # backends they crossed the device->host link as f16 already, so
+    # the f16 dump is lossless and HALF the checkpoint bytes (~19 GB
+    # instead of 38 at 1024^3)
+    from ..fmax import _transfer_policy
+    _, f16 = _transfer_policy(params)
+    wire = np.float16 if f16 else np.float32
     arrays = dict(ci=sp.ci, F=np.asarray(sp.F, np.float32))
     for k, v in sp.vel.items():
-        arrays[f"vel_{k}"] = np.asarray(v, np.float32)
+        arrays[f"vel_{k}"] = np.asarray(v, wire)
     nseg = 0
     if segs is not None:
         # segment 0 is the displacement set itself; store the rest
@@ -116,7 +123,7 @@ def dump_products(params, fmax_result, directory=".",
         for s, seg in enumerate(segs[1:], start=1):
             for k, v in seg.items():
                 if v is not None:
-                    arrays[f"seg{s}_{k}"] = np.asarray(v, np.float32)
+                    arrays[f"seg{s}_{k}"] = np.asarray(v, wire)
     meta["nseg"] = nseg
     meta["sorted_by"] = sp.sorted_by
     _write_summary(ddir, meta)
@@ -178,9 +185,11 @@ def read_dumps(params, directory="."):
     nseg = int(meta.get("nseg", 0))
     ci = np.concatenate([c["ci"] for c in chunks])
     F = np.concatenate([c["F"] for c in chunks])
+    # upcast f16 wire-dtype rows once here (the sweep reads f32)
     vel = {k: np.concatenate([c[f"vel_{k}"] for c in chunks])
-           for k in vel_keys}
+           .astype(np.float32, copy=False) for k in vel_keys}
     segs = [{k: np.concatenate([c[f"seg{s}_{k}"] for c in chunks])
+             .astype(np.float32, copy=False)
              for k in vel_keys if f"seg{s}_{k}" in chunks[0].files}
             for s in range(1, nseg)]
     sorted_by = meta.get("sorted_by", "ci")

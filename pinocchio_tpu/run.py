@@ -127,8 +127,13 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
     timings.update({"fmax_" + k: v for k, v in fmax_res.timings.items()})
 
     host_id, nhosts = hosts if hosts else (0, 1)
-    if params.DumpProducts and write_outputs \
-            and not params.ReadProductsFromDumps:
+    dump_wanted = (params.DumpProducts and write_outputs
+                   and not params.ReadProductsFromDumps)
+    # the ooc engine's displacement rows are still streaming in the
+    # background here: dump AFTER fragmentation (the rows have landed by
+    # then — the sweeps gate on them) instead of blocking the overlap
+    dump_deferred = getattr(fmax_res, "ooc_pending", None) is not None
+    if dump_wanted and not dump_deferred:
         io_dumps.dump_products(params, fmax_res, outdir,
                                hosts=(host_id, nhosts))
     t_frag = time.perf_counter()
@@ -157,6 +162,11 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         fmax_res.ooc_pending.join()
         timings.update({"fmax_" + k: v
                         for k, v in fmax_res.timings.items()})
+        if dump_wanted:
+            t0 = time.perf_counter()
+            io_dumps.dump_products(params, fmax_res, outdir,
+                                   hosts=(host_id, nhosts))
+            timings["dump"] = time.perf_counter() - t0
     if verbose and frag_res.best_pred_peak_factor:
         # fragment.c:477 advice line
         print(f"  the PredPeakFactor parameter could have been "

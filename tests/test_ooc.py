@@ -151,11 +151,16 @@ def test_ooc_grouped_dispatches_match(ooc_pair, hmf_validation_params,
 
 def test_ooc_refuses_unsupported(hmf_validation_params,
                                  hmf_validation_cosmology):
-    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    """Only the timeless snapshot (dense-stack reader) still refuses;
+    RECOMPUTE and DumpProducts are covered since round 5."""
+    from pinocchio_tpu.fmax_ooc import ooc_supported, run_fmax_ooc
     p = dataclasses.replace(hmf_validation_params, GridSize=32,
-                            recompute_displacements=True)
-    with pytest.raises(ValueError, match="recompute"):
+                            WriteTimelessSnapshot=True)
+    with pytest.raises(ValueError, match="snapshot"):
         run_fmax_ooc(p, hmf_validation_cosmology, verbose=False)
+    assert ooc_supported(dataclasses.replace(
+        hmf_validation_params, recompute_displacements=True,
+        DumpProducts=True))
 
 
 def _ooc_oracle_kdensity(p, c):
@@ -317,3 +322,71 @@ def test_ooc_pipeline_end_to_end(hmf_validation_params, tmp_path):
         out, f"pinocchio.{p.output_z[-1]:6.4f}.{p.RunFlag}.catalog.out"))
     assert os.path.exists(os.path.join(
         out, f"pinocchio.{p.RunFlag}.FmaxPDF.out"))
+
+
+def test_ooc_dump_restart(hmf_validation_params, tmp_path):
+    """DumpProducts through the ooc engine (checkpoint written from the
+    landed sparse rows AFTER fragmentation) + ReadProductsFromDumps
+    restart: fmax is skipped entirely and the restart reproduces the
+    dumping run's catalogs EXACTLY (fmax.c:372-506, pinocchio.c:220-236
+    contract — round-4 verdict missing #1)."""
+    import os
+    from pinocchio_tpu.run import run_pipeline
+    p = dataclasses.replace(hmf_validation_params, GridSize=64,
+                            ooc="on", ooc_dtype="float32",
+                            DumpProducts=True, subbox_tasks=2)
+    out = str(tmp_path)
+    res = run_pipeline(p, outdir=out, verbose=False, write_outputs=True)
+    assert os.path.exists(os.path.join(out, "DumpProducts",
+                                       "summary.json"))
+    p2 = dataclasses.replace(p, DumpProducts=False,
+                             ReadProductsFromDumps=True)
+    res2 = run_pipeline(p2, outdir=out, verbose=False,
+                        write_outputs=True)
+    assert "fmax_fmax_loop" not in res2["timings"]   # fmax was skipped
+    for a, b in zip(res["frag"].catalogs, res2["frag"].catalogs):
+        assert np.array_equal(a.name, b.name)
+        assert np.array_equal(a.mass, b.mass)
+        assert np.allclose(a.x, b.x)
+        assert np.allclose(a.v, b.v)
+
+
+def test_ooc_recompute_matches_monolithic(hmf_validation_params,
+                                          hmf_validation_cosmology):
+    """RECOMPUTE_DISPLACEMENTS through the ooc engine (round-4 verdict
+    missing #2): the extra per-segment displacement sets stream as more
+    watermarked row channels over the same resident spectra; rows must
+    match the monolithic engine's dense segment stacks on the same
+    realization, and the streaming-segment sweep must reproduce the
+    dense-segment sweep's halos."""
+    from pinocchio_tpu.fmax import run_fmax
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    from pinocchio_tpu.fragment.driver import run_fragmentation
+    p = dataclasses.replace(hmf_validation_params, GridSize=32,
+                            sparse_transfer=False, transfer_f16=False,
+                            ooc_dtype="float32",
+                            recompute_displacements=True)
+    c = hmf_validation_cosmology
+    assert len(p.output_z) > 1
+    r_ooc = run_fmax_ooc(p, c, verbose=False)
+    r_mono = run_fmax(p, c, kdensity=_ooc_oracle_kdensity(p, c),
+                      verbose=False)
+    assert r_ooc.seg_sparse and r_ooc.vel_segments is not None
+    assert len(r_ooc.vel_segments) == len(p.output_z)
+    sp = r_ooc.host_products
+    F_m = np.asarray(r_mono.products.Fmax).ravel()
+    sel = np.flatnonzero(F_m >= p.Flast)
+    common = np.intersect1d(sp.ci, sel)
+    pos = {ci: i for i, ci in enumerate(sp.ci)}
+    rows = np.array([pos[ci] for ci in common])
+    for s, seg in enumerate(r_mono.vel_segments):
+        for k, dense_v in seg.items():
+            dense = np.asarray(dense_v).reshape(3, -1)[:, common].T
+            got = r_ooc.vel_segments[s][k][rows]
+            assert np.allclose(got, dense, rtol=3e-3, atol=3e-3), (s, k)
+    f_o = run_fragmentation(p, c, r_ooc, verbose=False)
+    f_m = run_fragmentation(p, c, r_mono, verbose=False)
+    assert abs(f_o.npeaks - f_m.npeaks) <= max(2, 0.01 * f_m.npeaks)
+    for c0, c1 in zip(f_m.catalogs, f_o.catalogs):
+        assert abs(len(c0.name) - len(c1.name)) \
+            <= max(2, 0.02 * len(c0.name))
