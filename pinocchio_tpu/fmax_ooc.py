@@ -153,14 +153,18 @@ def _dft_fwd(N: int):
     return jnp.cos(ang) - 1j * jnp.sin(ang)
 
 
-def _rfftz_mats(N: int):
-    """Forward rfft bases over z as separate f32 (cos, -sin) [N, Nh]
-    mats (the real-input z-transform of real_to_spec)."""
+def _rfftz_mats(N: int, Nhp: int = None):
+    """Forward rfft bases over z as separate f32 (cos, -sin) [N, Nhp]
+    mats (the real-input z-transform of real_to_spec).  Columns at or
+    past Nh are ZERO: Nhp > Nh pads the kz axis to a multiple of the
+    mesh size for the kz-sharded multi-chip ledger."""
     Nh = N // 2 + 1
+    Nhp = Nhp or Nh
     z = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
-    k = jnp.arange(Nh, dtype=jnp.int32).reshape(1, Nh)
+    k = jnp.arange(Nhp, dtype=jnp.int32).reshape(1, Nhp)
     ang = (2.0 * jnp.pi / N) * jnp.asarray((z * k) % N, jnp.float32)
-    return jnp.cos(ang), -jnp.sin(ang)
+    live = (k < Nh).astype(jnp.float32)
+    return live * jnp.cos(ang), live * -jnp.sin(ang)
 
 
 def _mm_ifft2(d):
@@ -180,27 +184,33 @@ def _mm_fft2_xy(d):
     return jnp.einsum("xbj,jy->xby", a, W, precision=_PREC)
 
 
-def _zbases(N: int, z0, Bz: int, dtype):
-    """c2r bases C, S [Nh, Bz] for output planes z0..z0+Bz-1 (traced z0),
-    mod-N angle reduction for f32 fidelity (backend._zdft_bases)."""
+def _zbases(N: int, z0, Bz: int, dtype, Nhp: int = None):
+    """c2r bases C, S [Nhp, Bz] for output planes z0..z0+Bz-1 (traced
+    z0), mod-N angle reduction for f32 fidelity (backend._zdft_bases).
+    Rows at or past Nh = N/2+1 have weight ZERO (kz padding for the
+    multi-chip sharded stacks)."""
     Nh = N // 2 + 1
-    m = jnp.arange(Nh, dtype=jnp.int32).reshape(Nh, 1)
+    Nhp = Nhp or Nh
+    m = jnp.arange(Nhp, dtype=jnp.int32).reshape(Nhp, 1)
     z = z0 + jnp.arange(Bz, dtype=jnp.int32).reshape(1, Bz)
     ang = (2.0 * jnp.pi / N) * jnp.asarray((m * z) % N, jnp.float32)
     w = jnp.where((m == 0) | (m == N // 2), 1.0, 2.0).astype(jnp.float32) / N
+    w = jnp.where(m < Nh, w, 0.0)
     return ((w * jnp.cos(ang)).astype(dtype),
             (-w * jnp.sin(ang)).astype(dtype))
 
 
-def _fzbases(N: int, z0, Bz: int):
-    """FORWARD rfft_z bases [Bz, Nh] f32 (accumulating a spectrum from
+def _fzbases(N: int, z0, Bz: int, Nhp: int = None):
+    """FORWARD rfft_z bases [Bz, Nhp] f32 (accumulating a spectrum from
     real z-slabs): W[z, kz] = exp(-2 pi i z kz / N), returned (cos, -sin)
-    as separate f32 mats."""
+    as separate f32 mats; zero columns past Nh (kz padding)."""
     Nh = N // 2 + 1
+    Nhp = Nhp or Nh
     z = z0 + jnp.arange(Bz, dtype=jnp.int32).reshape(Bz, 1)
-    m = jnp.arange(Nh, dtype=jnp.int32).reshape(1, Nh)
+    m = jnp.arange(Nhp, dtype=jnp.int32).reshape(1, Nhp)
     ang = (2.0 * jnp.pi / N) * jnp.asarray((z * m) % N, jnp.float32)
-    return jnp.cos(ang), -jnp.sin(ang)
+    live = (m < Nh).astype(jnp.float32)
+    return live * jnp.cos(ang), live * -jnp.sin(ang)
 
 
 def _slab_matmul(ure, uim, C, S, prec):
@@ -232,13 +242,39 @@ class OocEngine:
     docstring)."""
 
     def __init__(self, params: Params, cosmo: Cosmology,
-                 verbose: bool = True):
+                 verbose: bool = True, mesh=None):
+        """mesh: optional 1-D jax.sharding.Mesh — the half-transform
+        stacks, source spectra, Fmax/q2 slab-row stores and the needed
+        -index table shard over its axis (kz planes / z-slab rows), so
+        grids beyond ONE chip's HBM ledger run on N chips' combined HBM
+        (allocations.c per-task budget x decomposition, composed freely
+        like the reference).  Compute partitioning is GSPMD: the slab
+        matmuls' kz contraction becomes a partial dot + psum, builders
+        write only the owning shard."""
         self.params = params
         self.cosmo = cosmo
         self.verbose = verbose
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            ax = mesh.axis_names[0]
+            self.ndev = int(mesh.devices.size)
+            self.shard_u = NamedSharding(mesh, PartitionSpec(None, ax,
+                                                             None))
+            self.shard_spec = NamedSharding(
+                mesh, PartitionSpec(None, None, ax, None))
+            self.shard_rows = NamedSharding(mesh, PartitionSpec(ax, None))
+        else:
+            self.ndev = 1
+            self.shard_u = self.shard_spec = self.shard_rows = None
         self.grid = Grid(N=params.GridSize, BoxSize=params.BoxSize_htrue)
         N = self.N = self.grid.N
         self.Nh = N // 2 + 1
+        # kz-axis padding: the sharded multi-chip ledger needs the kz
+        # dimension divisible by the mesh (Nh = N/2+1 is odd); padded
+        # planes carry zero basis weight everywhere
+        self.Nhp = self.Nh if mesh is None \
+            else -(-self.Nh // self.ndev) * self.ndev
         on_tpu = jax.default_backend() not in ("cpu",)
         dt = params.ooc_dtype or ("bfloat16" if on_tpu else "float32")
         self.dtype = jnp.dtype(dt)
@@ -274,10 +310,59 @@ class OocEngine:
         self.sm = Smoothing.build(params, cosmo)
         self.timings: Dict[str, float] = {}
 
+    def _filled(self, shape, dtype, sharding, fill=None):
+        """Fresh device array, sharded over the mesh when one is set
+        (and the sharded dim divides; uneven splits fall back to
+        replicated — GSPMD still partitions the contractions)."""
+        if fill is None:
+            fn = partial(jnp.zeros, shape, dtype)
+        else:
+            fn = partial(jnp.full, shape, fill, dtype)
+        if self.mesh is None or sharding is None:
+            return fn()
+        return jax.jit(fn, out_shardings=sharding)()
+
+    def zeros_half(self, dtype=None):
+        """One [N, Nhp, N] half-transform array (kz-sharded)."""
+        return self._filled((self.N, self.Nhp, self.N),
+                            dtype or self.dtype, self.shard_u)
+
     def zeros_stack(self, ncomp: int):
         """Fresh flat tuple of 2*ncomp half-transform arrays."""
-        return tuple(jnp.zeros((self.N, self.Nh, self.N), self.dtype)
-                     for _ in range(2 * ncomp))
+        return tuple(self.zeros_half() for _ in range(2 * ncomp))
+
+    def zeros_spec(self):
+        """One [2, N, Nhp, N] source spectrum (kz-sharded)."""
+        return self._filled((2, self.N, self.Nhp, self.N), self.dtype,
+                            self.shard_spec)
+
+    def _rows_sharding(self):
+        nsl = self.N // self.Bz
+        return self.shard_rows if nsl % self.ndev == 0 else None
+
+    def full_rows(self, fill, dtype):
+        """Slab-row dense store [nsl, Bz*N*N] (Fmax / q2), row-sharded
+        when the slab count divides the mesh."""
+        return self._filled((self.N // self.Bz, self.Bz * self.N ** 2),
+                            dtype, self._rows_sharding(), fill=fill)
+
+    def put_rows(self, arr):
+        """Host [nsl, cap] table -> device, row-sharded like the
+        slab-row stores."""
+        sh = self._rows_sharding()
+        if self.mesh is None or sh is None:
+            return jax.device_put(arr)
+        return jax.device_put(arr, sh)
+
+    def put_dense(self, arr):
+        """Host z-major [N, N, N] field -> device, sharded over z."""
+        if self.mesh is None or arr.shape[0] % self.ndev:
+            return jax.device_put(arr)
+        from jax.sharding import NamedSharding, PartitionSpec
+        ax = self.mesh.axis_names[0]
+        return jax.device_put(
+            arr, NamedSharding(self.mesh,
+                               PartitionSpec(ax, None, None)))
 
     def _kxy(self):
         N = self.N
@@ -416,7 +501,7 @@ class OocEngine:
         update made the grouped 1024^3 program relayout-copy the whole
         2 GB grid (+0.6 GB over HBM, measured twice)."""
         N, Bz = self.N, self.Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         sd = _consume6(us, C, S, self.prec)
         delta = sd[0] + sd[1] + sd[2]
         l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
@@ -445,7 +530,7 @@ class OocEngine:
         the monolithic analog is collapse.collapse_update_table)."""
         from .ops import tabulated
         N, Bz = self.N, self.Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         sd = _consume6(us, C, S, self.prec)
         delta = sd[0] + sd[1] + sd[2]
         l1, l2, l3, fail = collapse.eigenvalues_descending(sd)
@@ -470,7 +555,7 @@ class OocEngine:
         retired Fmax buffer as q2's storage — same shape + dtype, so it
         aliases and the 2LPT phase allocates NOTHING (module ledger)."""
         N, Bz = self.N, self.Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         sd = _consume6(us, C, S, self.prec)
         xx, yy, zz, xy, xz, yz = sd
         src2 = (xx * yy + xx * zz + yy * zz
@@ -487,7 +572,7 @@ class OocEngine:
         through the HOST because no third N^3 device buffer fits next to
         us + q2 at 1024^3 (module ledger)."""
         N, Bz = self.N, self.Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         sd = _consume6(us, C, S, self.prec)
         xx, yy, zz, xy, xz, yz = sd
         src31 = 3.0 * (xx * (yy * zz - yz * yz)
@@ -508,12 +593,12 @@ class OocEngine:
         where on the 'first' call u1/u2 are the TRACE half-transform of
         sd and the q2 half-transform (LPT.c:89-141)."""
         N, Bz = self.N, self.Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         a = _slab_matmul(u1re, u1im, C, S, self.prec)
         b = _slab_matmul(u2re, u2im, C, S, self.prec)
         contrib = jnp.where(first, 2.0 * a * b,
                             -2.0 * weight * a * b)
-        FC, FS = _fzbases(N, z0, Bz)
+        FC, FS = _fzbases(N, z0, Bz, self.Nhp)
         wre = wre + jnp.einsum("bxy,bk->xky", contrib, FC,
                                precision=self.prec,
                                preferred_element_type=jnp.float32)
@@ -534,7 +619,7 @@ class OocEngine:
         q3 = jnp.reshape(q, (N, N, N))            # z-major view
         sl = jax.lax.dynamic_slice(q3, (0, x0, 0),
                                    (N, Bx, N)).astype(jnp.float32)
-        Cf, Sf = _rfftz_mats(N)                   # [N(z), Nh]
+        Cf, Sf = _rfftz_mats(N, self.Nhp)         # [N(z), Nhp]
         wre = jnp.einsum("zxy,zk->xky", sl, Cf, precision=_PREC)
         wim = jnp.einsum("zxy,zk->xky", sl, Sf, precision=_PREC)
         blk = jnp.stack([wre, wim]).astype(out.dtype)  # [2, Bx, Nh, N]
@@ -828,7 +913,7 @@ class OocEngine:
         cap = idx_all.shape[1]
         idx = jax.lax.dynamic_slice(idx_all, (j, 0), (1, cap))[0]
         z0 = j * Bz
-        C, S = _zbases(N, z0, Bz, self.dtype)
+        C, S = _zbases(N, z0, Bz, self.dtype, self.Nhp)
         comps = [_slab_matmul(us[2 * c], us[2 * c + 1], C, S,
                               self.prec).reshape(-1)
                  for c in range(3)]
@@ -967,7 +1052,8 @@ class _OocPending:
 
 
 def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
-                 verbose: bool = True, overlap: bool = True) -> FmaxResult:
+                 verbose: bool = True, overlap: bool = True,
+                 mesh=None) -> FmaxResult:
     """The out-of-core fmax run: collapse cycle + 3LPT displacements with
     a bounded device working set, host products assembled streaming.
 
@@ -997,7 +1083,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         raise ValueError(f"out-of-core fmax: {why} "
                          "(run the monolithic engine or drop the flag)")
 
-    eng = OocEngine(params, cosmo, verbose=verbose)
+    eng = OocEngine(params, cosmo, verbose=verbose, mesh=mesh)
     N, Nh = eng.N, eng.Nh
     nsl = N // eng.Bz
     sm = eng.sm
@@ -1018,7 +1104,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
         packs = inverse_growth_packs(cosmo, sm, scaledep_gm)
     us = eng.zeros_stack(6)
     # slab-row store [nsl, Bz*N*N] (cycle_slab docstring)
-    Fmax = jnp.full((nsl, eng.Bz * N * N), -10.0, eng.fdtype)
+    Fmax = eng.full_rows(-10.0, eng.fdtype)
     stats = []
     for ism in range(sm.n):
         us = eng.build_hessian(us, jnp.float32(radii_grid[ism]))
@@ -1176,8 +1262,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
 
             q2hat = None
             if lpt_order >= 2:
-                q2hat = eng.to_spec(q2, jnp.zeros((2, N, Nh, N),
-                                                  eng.dtype))
+                q2hat = eng.to_spec(q2, eng.zeros_spec())
                 q2 = None
 
             q32hat = None
@@ -1186,10 +1271,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                 # a time.  Runs while NO displacement stack exists — the
                 # f32 re/im accumulators (4 GiB at 1024^3) + the two
                 # component pairs + q2hat is the phase peak.
-                wre = jnp.zeros((N, Nh, N), jnp.float32)
-                wim = jnp.zeros((N, Nh, N), jnp.float32)
-                uu = tuple(jnp.zeros((N, Nh, N), eng.dtype)
-                           for _ in range(4))
+                wre = eng.zeros_half(jnp.float32)
+                wim = eng.zeros_half(jnp.float32)
+                uu = tuple(eng.zeros_half() for _ in range(4))
                 uu = eng.build_pair(uu, q2hat, 0, 0, True)
                 wre, wim = eng.fold_pair(wre, wim, *uu, np.bool_(True),
                                          np.float32(0.0))
@@ -1200,9 +1284,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                                              np.float32(PAIR_W[c]))
                 uu = None
                 _drain_frees()
-                q32hat = eng.pair_to_spec(wre, wim,
-                                          jnp.zeros((2, N, Nh, N),
-                                                    eng.dtype))
+                q32hat = eng.pair_to_spec(wre, wim, eng.zeros_spec())
                 wre = wim = None
 
             q31hat = None
@@ -1210,10 +1292,9 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                 # 3LPT-a: det source round-trips via the host
                 q31h = np.concatenate(q31_parts, axis=0)  # z-major
                 q31_parts = None
-                q31d = jax.device_put(q31h)
+                q31d = eng.put_dense(q31h)
                 del q31h
-                q31hat = eng.to_spec(q31d, jnp.zeros((2, N, Nh, N),
-                                                     eng.dtype))
+                q31hat = eng.to_spec(q31d, eng.zeros_spec())
                 q31d = None
             _drain_frees()
 
@@ -1223,7 +1304,7 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
             stream.check()                # surfaces a needed-prep error
             counts = prep["counts"]
             offsets = prep["offsets"]
-            idx_dev = jax.device_put(prep["idx_pad"])
+            idx_dev = eng.put_rows(prep["idx_pad"])
             prep["idx_pad"] = None
 
             def stream_rows(key, u_v):

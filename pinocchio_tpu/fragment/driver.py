@@ -785,6 +785,23 @@ def run_fragmentation(params: Params, cosmo: Cosmology,
                           ctypes.POINTER(_PlcInput),
                           ctypes.POINTER(_PlcOutput)]
 
+    if stream is not None and sp.sorted_by != "F":
+        # ooc streams land in STORAGE order while the sweep processes in
+        # descending-F order: the C watermark spin would burn both host
+        # cores re-checking random rows for the whole stream phase
+        # (measured 3x LPT stretch at 256^3).  The sweep cannot make
+        # useful progress on a partial storage-order prefix anyway, so
+        # park on the stream events (zero CPU) until every table this
+        # sweep reads has fully landed — the selection+sort above
+        # already ran DURING the streams, which is the overlap win.
+        t0 = time.perf_counter()
+        for key in sp.vel:
+            sp.vel[key]                  # blocks on the table's event
+        if seg_vel is not None and fmax_result.seg_sparse:
+            for vs in fmax_result.vel_segments:
+                for key in vs:
+                    vs[key]
+        timings["stream_wait"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     rc = lib.sweep(ctypes.byref(si), ctypes.byref(cb), ctypes.byref(so),
                    pi_ref, po_ref)

@@ -65,23 +65,28 @@ def device_hbm_bytes() -> float:
     return None
 
 
-def ooc_device_peak(params: Params, frac: float = 0.8) -> float:
-    """Device peak of the out-of-core engine (fmax_ooc.py module
-    ledger): max of the collapse-cycle phase (6-component half-transform
-    stack + the Fmax grid) and the v-stream phase (3-component stack +
-    three resident source spectra + the padded needed-index table, which
-    scales with the collapsed fraction `frac`)."""
+def ooc_device_peak(params: Params, frac: float = 0.8,
+                    n_chips: int = 1) -> float:
+    """Device peak PER CHIP of the out-of-core engine (fmax_ooc.py
+    module ledger): max of the collapse-cycle phase (6-component
+    half-transform stack + the Fmax grid) and the v-stream phase
+    (3-component stack + three resident source spectra + the padded
+    needed-index table, which scales with the collapsed fraction
+    `frac`).  n_chips > 1: every ledger component shards over the mesh
+    (stacks/spectra by kz plane, Fmax/idx by z-slab row —
+    OocEngine(mesh=...)), so the per-chip peak divides by the chip
+    count."""
     N = params.GridSize
     Nh = N // 2 + 1
     store = 2 if params.ooc_dtype in (None, "bfloat16", "float16") else 4
-    half = 2 * Nh * float(N) ** 2 * store       # one component (re+im)
-    fmax = float(N) ** 3 * 2
+    half = 2 * Nh * float(N) ** 2 * store / n_chips   # one re+im pair
+    fmax = float(N) ** 3 * 2 / n_chips
     cycle = 6 * half + fmax
-    spec = 2 * Nh * float(N) ** 2 * store       # one [2, N, Nh, N] spectrum
+    spec = 2 * Nh * float(N) ** 2 * store / n_chips   # one spectrum
     # the real table is padded to nsl * cap with cap ~ 1.02x the MAX
     # per-slab collapsed count, not the mean: the 1.25 factor is headroom
     # for z-clustering of the collapsed fraction above uniformity
-    idx = min(1.0, frac * 1.1 * 1.25) * float(N) ** 3 * 4
+    idx = min(1.0, frac * 1.1 * 1.25) * float(N) ** 3 * 4 / n_chips
     vstream = 3 * half + 3 * spec + idx
     return max(cycle, vstream)
 
@@ -94,10 +99,13 @@ def ooc_selected(params: Params, n_chips: int = 1,
     from .fmax_ooc import ooc_supported
     if params.ooc == "on":
         return True
-    if params.ooc != "auto" or n_chips > 1 or not ooc_supported(params):
+    if params.ooc != "auto" or not ooc_supported(params):
         return False
     if params.ReadProductsFromDumps:
         return False
+    # multi-chip: the monolithic mesh-sharded pipeline is preferred
+    # while it fits; the kz-sharded ooc engine takes over for grids
+    # beyond the chips' COMBINED HBM (e.g. 2048^3 on 8 chips)
     rep = plan(params, n_chips=n_chips, verbose=False, cosmo=cosmo)
     return not rep["fits_hbm"]
 
@@ -169,13 +177,15 @@ def plan(params: Params, n_chips: int = 1, hbm_gb: float = 16.0,
     device_peak_phase = ("collapse cycle" if loop_total >= lpt_total
                          else "LPT displacements")
     if ooc:
-        device_total = ooc_device_peak(params, frac=frac0)
-        cyc = ooc_device_peak(params, frac=0.0)   # idx-free cycle peak
+        device_total = ooc_device_peak(params, frac=frac0,
+                                       n_chips=n_chips)
+        cyc = ooc_device_peak(params, frac=0.0, n_chips=n_chips)
         device_peak_phase = ("ooc cycle (u stack + Fmax)"
                              if device_total <= cyc
                              else "ooc v-streams (u_v + spectra + idx)")
-        loop_phase = dict(half_transforms=cyc - float(N) ** 3 * 2,
-                          fmax=float(N) ** 3 * 2)
+        loop_phase = dict(
+            half_transforms=cyc - float(N) ** 3 * 2 / n_chips,
+            fmax=float(N) ** 3 * 2 / n_chips)
         lpt_phase = dict(device_peak=device_total)
         # the breakdown must match the phase the peak came from (the
         # monolithic loop_total/lpt_total comparison below is meaningless

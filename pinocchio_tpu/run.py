@@ -96,6 +96,17 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
         fmax_res = io_dumps.read_dumps(params, outdir)
         if verbose:
             print("[fmax] products read from dumps")
+    elif chips and chips > 1 and use_ooc:
+        # grids beyond the chips' COMBINED HBM: the ooc engine with its
+        # ledger kz-sharded over a 1-D mesh (every chip holds 1/chips of
+        # the stacks/spectra/Fmax; the slab matmuls partition via GSPMD)
+        from .fmax_ooc import run_fmax_ooc
+        from .parallel import pfft
+        mesh = pfft.make_mesh(chips)
+        if verbose:
+            print(f"[fmax] ooc ledger sharded over {chips} chips")
+        fmax_res = run_fmax_ooc(params, cosmo, scaledep_gm=scaledep_gm,
+                                verbose=verbose, mesh=mesh)
     elif chips and chips > 1:
         # mesh-sharded device pipeline: explicit --decomp, or auto (slab
         # for prime counts, else pencil — the set_fft_decomposition

