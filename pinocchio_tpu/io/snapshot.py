@@ -167,6 +167,8 @@ def write_timeless_snapshot(params: Params, fmax_result, frag_result,
     vel = {k: np.ascontiguousarray(np.asarray(v).reshape(3, -1).T,
                                    np.float32)
            for k, v in fmax_result.products.vel.items()}
+    rmax = (np.asarray(fmax_result.products.Rmax).ravel()
+            .astype(np.int32) if params.add_rmax_to_snapshot else None)
 
     # scatter the sweep's zacc / group name back to grid order
     # (single-box particle_pos is already the global cell index; the
@@ -176,13 +178,19 @@ def write_timeless_snapshot(params: Params, fmax_result, frag_result,
     pos = frag_result.particle_pos
     zacc[pos] = frag_result.particle_zacc
     grup[pos] = frag_result.particle_grup
+    return _timeless_write(params, F, vel, rmax, zacc, grup, directory)
 
+
+def _timeless_write(params: Params, F, vel, rmax, zacc, grup,
+                    directory) -> str:
+    """Assemble + write the timeless snapshot blocks from full-grid
+    arrays (shared by the single-host writer and the chunk merger so
+    the merged multi-host file is byte-identical)."""
+    N = params.GridSize
     blocks = [("ID  ", "LLONG   ", 1, _particle_ids(N))]
     if params.add_rmax_to_snapshot:
         # initialize_RMAX (write_snapshot.c:830-852)
-        blocks.append(("RMAX", "LONG    ", 1,
-                       np.asarray(fmax_result.products.Rmax)
-                       .ravel().astype(np.int32)))
+        blocks.append(("RMAX", "LONG    ", 1, rmax))
     blocks += [("FMAX", "FLOAT   ", 1, F.astype(np.float32)),
                ("VEL ", "FLOATN  ", 3, vel["v1"])]
     if "v2" in vel:
@@ -196,6 +204,123 @@ def write_timeless_snapshot(params: Params, fmax_result, frag_result,
     path = os.path.join(directory,
                         f"pinocchio.{params.RunFlag}.t_snapshot.out")
     return _write_snapshot(path, params, params.zlast, blocks)
+
+
+def write_timeless_chunk(params: Params, fmax_result, frag_result,
+                         directory=".", host_id: int = 0,
+                         device_filter=None) -> str:
+    """One host's share of the timeless snapshot as an npz chunk
+    (the collector scheme of write_snapshot.c:400-506 without MPI:
+    hosts share the output filesystem and scripts/merge_chunks.py
+    assembles the canonical Gadget file).
+
+    Dense products: this host's addressable SHARDS of the mesh-sharded
+    Fmax/Rmax/vel arrays (each stored with its global start indices).
+    Per-particle products: this host's sub-boxes' zacc/grup in global
+    cell order (fragment.subbox._merge_back).  device_filter overrides
+    the process-ownership test (mocked single-process clusters)."""
+    import jax
+    if frag_result is None or frag_result.particle_pos is None:
+        raise ValueError(
+            "timeless snapshot requested but the fragmentation result "
+            "carries no per-particle products; run with "
+            "WriteTimelessSnapshot=True")
+    if device_filter is None:
+        pi = jax.process_index()
+
+        def device_filter(d):
+            return d.process_index == pi
+
+    arrays = dict(pos=np.asarray(frag_result.particle_pos),
+                  zacc=np.asarray(frag_result.particle_zacc),
+                  grup=np.asarray(frag_result.particle_grup))
+    prods = {"F": fmax_result.products.Fmax}
+    for k, v in fmax_result.products.vel.items():
+        prods[f"vel_{k}"] = v
+    if params.add_rmax_to_snapshot:
+        prods["rmax"] = fmax_result.products.Rmax
+    for name, arr in prods.items():
+        if arr is None:
+            continue
+        if isinstance(arr, np.ndarray):
+            # host-resident dense array: whole-grid share on host 0
+            if host_id == 0:
+                arrays[f"{name}_0_data"] = arr
+                arrays[f"{name}_0_start"] = np.zeros(arr.ndim, np.int64)
+            continue
+        i = 0
+        for sh in arr.addressable_shards:
+            if not device_filter(sh.device):
+                continue
+            starts = [0 if sl.start is None else int(sl.start)
+                      for sl in sh.index]
+            arrays[f"{name}_{i}_data"] = np.asarray(sh.data)
+            arrays[f"{name}_{i}_start"] = np.asarray(starts, np.int64)
+            i += 1
+    path = os.path.join(
+        directory, f"pinocchio.{params.RunFlag}.t_snapshot.out"
+                   f".{host_id}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fd:
+        np.savez(fd, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def merge_timeless_chunks(params: Params, directory=".",
+                          keep: bool = False):
+    """Assemble per-host t_snapshot chunks into the canonical Gadget
+    file — byte-identical to a single-host write_timeless_snapshot
+    (the collector gather of write_snapshot.c:400-506).  Returns the
+    path, or None when no chunks are present."""
+    import glob
+    import re
+    chunks = sorted(
+        glob.glob(os.path.join(
+            directory,
+            f"pinocchio.{params.RunFlag}.t_snapshot.out.*.npz")),
+        key=lambda p: int(re.search(r"\.out\.(\d+)\.npz$", p).group(1)))
+    if not chunks:
+        return None
+    N = params.GridSize
+    F = np.zeros((N, N, N), np.float32)
+    vel: dict = {}
+    rmax = (np.zeros((N, N, N), np.int32)
+            if params.add_rmax_to_snapshot else None)
+    zacc = np.full(N ** 3, -1.0, np.float32)
+    grup = np.zeros(N ** 3, np.uint64)
+    shard_pat = re.compile(r"^(F|rmax|vel_(\w+))_(\d+)_data$")
+    for path in chunks:
+        with np.load(path) as d:
+            pos = d["pos"]
+            zacc[pos] = d["zacc"]
+            grup[pos] = d["grup"]
+            for key in d.files:
+                m = shard_pat.match(key)
+                if not m:
+                    continue
+                data = d[key]
+                start = d[key[:-4] + "start"]
+                sl = tuple(slice(int(s), int(s) + n)
+                           for s, n in zip(start, data.shape))
+                if m.group(1) == "F":
+                    F[sl[-3:]] = data.reshape(data.shape[-3:])
+                elif m.group(1) == "rmax":
+                    rmax[sl[-3:]] = data.reshape(data.shape[-3:])
+                else:
+                    k = m.group(2)
+                    if k not in vel:
+                        vel[k] = np.zeros((3, N, N, N), np.float32)
+                    vel[k][sl] = data
+    vel_rows = {k: np.ascontiguousarray(v.reshape(3, -1).T, np.float32)
+                for k, v in vel.items()}
+    out = _timeless_write(params, F.ravel(), vel_rows,
+                          rmax.ravel() if rmax is not None else None,
+                          zacc, grup, directory)
+    if not keep:
+        for c in chunks:
+            os.remove(c)
+    return out
 
 
 def read_snapshot(path: str):

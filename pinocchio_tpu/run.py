@@ -279,12 +279,15 @@ def run_pipeline(params: Params, outdir: str = ".", verbose: bool = True,
             tick("io_plc")
         if params.WriteTimelessSnapshot:
             if nhosts > 1:
-                # each host holds only its sub-boxes' particles and its
-                # chips' dense products: a global-grid snapshot cannot be
-                # assembled per host (the reference gathers through
-                # collector tasks, write_snapshot.c:400-506)
-                print("  multi-host: timeless snapshot skipped (merge the "
-                      "per-host products offline)")
+                # each host writes its chips' dense shards + its
+                # sub-boxes' per-particle products as an npz chunk;
+                # scripts/merge_chunks.py assembles the canonical
+                # Gadget file (the collector gather of
+                # write_snapshot.c:400-506 via the shared filesystem)
+                from .io.snapshot import write_timeless_chunk
+                written.append(write_timeless_chunk(
+                    params, fmax_res, frag_res, outdir, host_id=host_id))
+                tick("io_snapshot")
             else:
                 from .io.snapshot import write_timeless_snapshot
                 written.append(write_timeless_snapshot(params, fmax_res,

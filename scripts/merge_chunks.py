@@ -125,6 +125,14 @@ def main(argv=None):
         merged.append(out)
         print(f"recomputed {out} ({len(rec)} halos)")
 
+    # timeless snapshot: assemble per-host npz chunks into the
+    # canonical Gadget file (byte-identical to a single-host write)
+    from pinocchio_tpu.io.snapshot import merge_timeless_chunks
+    snap = merge_timeless_chunks(params, args.dir, keep=args.keep)
+    if snap:
+        merged.append(snap)
+        print(f"merged timeless snapshot -> {snap}")
+
     # n(z) from the merged PLC (each host only saw its own crossings)
     plc_path = os.path.join(args.dir,
                             f"pinocchio.{params.RunFlag}.plc.out")
