@@ -303,6 +303,17 @@ class OocEngine:
         # alias, like the cycle consumers), which removes the hoist and
         # lets every grid group the LPT phases too
         self.group_lpt = self.group
+        # the fold phase (build_pair + fold + spectra) runs with ~3.4 GB
+        # of ledger headroom even at 1024^3 (no u_v stack yet): deeper
+        # fusion is free there, and its ~120 dispatches were the largest
+        # remaining dispatch-overhead block at 512^3
+        self.group_fold = min(2 * self.group, 8)
+        # grouped v-row stream dispatches: [K, cap, 3] transfer buffers
+        # scale with K x cap, so the in-flight depth adapts to the
+        # ledger (the r4 ResourceExhausted config was depth 4 PLUS the
+        # fori spec hoist; with the hoist gone, K=2 x depth 3 stays
+        # within the recorded-safe headroom at 1024^3)
+        self.group_rows = self.group if N < 1024 else 2
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
@@ -821,7 +832,7 @@ class OocEngine:
         """uu = (u1re, u1im, u2re, u2im): both fold operands for one
         component over all kz batches."""
         args = (jnp.int32(ia), jnp.int32(ib), jnp.bool_(fac_one))
-        for kz0, B, K in self._kz_chunks(self.group_lpt):
+        for kz0, B, K in self._kz_chunks(self.group_fold):
             if K == 1:
                 uu = self.build_pair_batch(*uu, spec, *args,
                                            jnp.int32(kz0), B=B)
@@ -861,7 +872,7 @@ class OocEngine:
         return q2
 
     def fold_pair(self, wre, wim, u1re, u1im, u2re, u2im, first, weight):
-        for z0, K in self._z_chunks(self.group_lpt):
+        for z0, K in self._z_chunks(self.group_fold):
             if K == 1:
                 wre, wim = self.fold_slab(u1re, u1im, u2re, u2im,
                                           wre, wim, first, weight,
@@ -880,21 +891,21 @@ class OocEngine:
         nbx = self.N // self.Bx
         i = 0
         while i < nbx:
-            k = min(self.group_lpt, nbx - i)
+            k = min(self.group_fold, nbx - i)
             if k == 1:
                 out = self.rfftz_batch(q, out, jnp.int32(i * self.Bx))
             else:
                 out = self.rfftz_group(q, out, jnp.int32(i * self.Bx),
                                        K=k)
             i += k
-        for kz0, B, K in self._kz_chunks(self.group_lpt):
+        for kz0, B, K in self._kz_chunks(self.group_fold):
             out = (self.fft2_batch(out, jnp.int32(kz0), B=B) if K == 1
                    else self.fft2_group(out, jnp.int32(kz0), B=B, K=K))
         return out
 
     def pair_to_spec(self, wre, wim, out):
         """Fold accumulators (f32 re/im pair) -> store-dtype spectrum."""
-        for kz0, B, K in self._kz_chunks(self.group_lpt):
+        for kz0, B, K in self._kz_chunks(self.group_fold):
             out = (self.fft2_pair_batch(wre, wim, out, jnp.int32(kz0),
                                         B=B) if K == 1
                    else self.fft2_pair_group(wre, wim, out,
@@ -919,6 +930,18 @@ class OocEngine:
                  for c in range(3)]
         rows = jnp.stack([c[idx] for c in comps], axis=1)
         return rows.astype(self.fdtype)
+
+    @partial(jax.jit, static_argnames=("self", "K"))
+    def vrows_group(self, us, idx_all, j0, K: int):
+        """K consecutive slabs' needed rows in one dispatch
+        [K, cap, 3]: same bytes on the wire, K x fewer round trips
+        (K and the in-flight depth sized by the ledger — group_rows)."""
+        body = type(self).vrows_slab.__wrapped__
+        rows = []
+        for j in range(K):
+            rows.append(body(self, us, idx_all, j0 + j))
+            us, (rows[-1],) = _seq(us, (rows[-1],), j, K)
+        return jnp.stack(rows)
 
     @partial(jax.jit, static_argnames=("self", "K"))
     def q31_group(self, us, z00, K: int):
@@ -1310,29 +1333,36 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
             def stream_rows(key, u_v):
                 buf = stream.buffer(key)
 
-                def land(j, fut):
+                def land(j0, K, fut):
                     rows = fut.result()
-                    n_j = counts[j]
-                    buf[offsets[j]:offsets[j] + n_j] = rows[:n_j]
-                    stream.advance(key, int(offsets[j + 1]))
+                    for jj in range(K):
+                        j = j0 + jj
+                        n_j = counts[j]
+                        r = rows[jj] if rows.ndim == 3 else rows
+                        buf[offsets[j]:offsets[j] + n_j] = r[:n_j]
+                    stream.advance(key, int(offsets[j0 + K]))
 
-                # per-slab dispatches on purpose: the stream is
-                # LINK-bound, and grouped [K, cap, 3] buffers pushed the
-                # v-stream phase peak (~15.05 GB) past HBM at 1024^3
-                # (measured ResourceExhausted); at most 3 in-flight
-                # transfer buffers keep the proven headroom
+                # the stream is LINK-bound; grouping K slabs per
+                # dispatch trims round trips, with K and the in-flight
+                # transfer-buffer depth bounded by the v-phase ledger
+                # (group_rows — the r4 ResourceExhausted lesson)
                 pend = []
-                for j0 in range(nsl):
-                    rows_dev = eng.vrows_slab(u_v, idx_dev,
-                                              jnp.int32(j0))
+                j0 = 0
+                while j0 < nsl:
+                    K = min(eng.group_rows, nsl - j0)
+                    rows_dev = (eng.vrows_slab(u_v, idx_dev,
+                                               jnp.int32(j0)) if K == 1
+                                else eng.vrows_group(u_v, idx_dev,
+                                                     jnp.int32(j0), K=K))
                     fut = ex.submit(np.asarray, rows_dev)
-                    pend.append((j0, fut))
-                    while len([1 for _, f in pend if not f.done()]) > 2:
+                    pend.append((j0, K, fut))
+                    while len([1 for *_, f in pend if not f.done()]) > 2:
                         time.sleep(0.005)
-                    while pend and pend[0][1].done():
+                    while pend and pend[0][2].done():
                         land(*pend.pop(0))
-                for j0, f in pend:
-                    land(j0, f)
+                    j0 += K
+                for j0, K, f in pend:
+                    land(j0, K, f)
 
             seg_z = [z0out]
             if multi_seg:
