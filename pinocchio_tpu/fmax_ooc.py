@@ -302,18 +302,21 @@ class OocEngine:
         # the spec-reading groups now UNROLL their K sections (reads
         # alias, like the cycle consumers), which removes the hoist and
         # lets every grid group the LPT phases too
-        self.group_lpt = self.group
+        # the v-stream builders run at the 15.05/15.75 GB ledger edge at
+        # N >= 1024: keep their unrolled section count at the
+        # end-to-end-proven K=4 there even when a deeper cycle group is
+        # requested
+        self.group_lpt = self.group if N < 1024 else min(self.group, 4)
         # the fold phase (build_pair + fold + spectra) runs with ~3.4 GB
         # of ledger headroom even at 1024^3 (no u_v stack yet): deeper
         # fusion is free there, and its ~120 dispatches were the largest
         # remaining dispatch-overhead block at 512^3
         self.group_fold = min(2 * self.group, 8)
         # grouped v-row stream dispatches: [K, cap, 3] transfer buffers
-        # scale with K x cap, so the in-flight depth adapts to the
-        # ledger (the r4 ResourceExhausted config was depth 4 PLUS the
-        # fori spec hoist; with the hoist gone, K=2 x depth 3 stays
-        # within the recorded-safe headroom at 1024^3)
-        self.group_rows = self.group if N < 1024 else 2
+        # scale with K x cap, so grouping stays off at the ledger edge
+        # (N >= 1024 streams are link-bound anyway; the r4
+        # ResourceExhausted configuration grouped them at depth 4)
+        self.group_rows = self.group if N < 1024 else 1
         self.plane = kdensity_plane_fn(self.grid, cosmo,
                                        params.RandomSeed,
                                        fixed=params.FixedIC,
