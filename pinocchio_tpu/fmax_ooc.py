@@ -699,10 +699,18 @@ class OocEngine:
         — the round-4 v-stream ResourceExhausted); straight-line
         sections read it aliased like the per-batch programs."""
         body = type(self).build_first_batch.__wrapped__
+        tok = jnp.int32(0)
         for i in range(K):
-            us = body(self, us, spec, gtab, glo, gdx, kz00 + i * B,
-                      source, B)
+            us = body(self, us, spec, gtab, glo, gdx,
+                      kz00 + i * B + tok, source, B)
             (spec,), us = _seq((spec,), tuple(us), i, K)
+            # the barrier alone orders only the SPEC reads; the per
+            # -section plane regeneration + ifft2 read nothing carried,
+            # so XLA co-scheduled all K sections' [B, N, N] c64
+            # transients (+~2 GB — the round-5 v-stream
+            # ResourceExhausted).  A zero token read from the carried
+            # stack makes section i+1's kz indices depend on section i.
+            tok = (us[0][0, 0, 0] * 0).astype(jnp.int32)
         return us
 
     @partial(jax.jit, static_argnames=("self", "B", "K"),
@@ -713,9 +721,14 @@ class OocEngine:
         build_first_group."""
         body = type(self).build_pair_batch.__wrapped__
         uu = (u1re, u1im, u2re, u2im)
+        tok = jnp.int32(0)
         for i in range(K):
-            uu = body(self, *uu, spec, ia, ib, fac_one, kz00 + i * B, B)
+            uu = body(self, *uu, spec, ia, ib, fac_one,
+                      kz00 + i * B + tok, B)
             (spec,), uu = _seq((spec,), tuple(uu), i, K)
+            # serialize the density-sourced half too (see
+            # build_first_group)
+            tok = (uu[0][0, 0, 0] * 0).astype(jnp.int32)
         return uu
 
     @partial(jax.jit, static_argnames=("self", "K"),
@@ -1349,6 +1362,11 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                 # dispatch trims round trips, with K and the in-flight
                 # transfer-buffer depth bounded by the v-phase ledger
                 # (group_rows — the r4 ResourceExhausted lesson)
+                # at the N >= 1024 ledger edge: drain the retired
+                # build transients first and keep fewer landed-row
+                # buffers in flight
+                depth = 2 if N < 1024 else 1
+                _drain_frees()
                 pend = []
                 j0 = 0
                 while j0 < nsl:
@@ -1359,7 +1377,8 @@ def run_fmax_ooc(params: Params, cosmo: Cosmology, scaledep_gm=None,
                                                      jnp.int32(j0), K=K))
                     fut = ex.submit(np.asarray, rows_dev)
                     pend.append((j0, K, fut))
-                    while len([1 for *_, f in pend if not f.done()]) > 2:
+                    while len([1 for *_, f in pend
+                               if not f.done()]) > depth:
                         time.sleep(0.005)
                     while pend and pend[0][2].done():
                         land(*pend.pop(0))
